@@ -1,0 +1,501 @@
+"""LakeTable — an Iceberg-style versioned, bucketed, copy-on-write table.
+
+No Iceberg runtime jar ships in this sandbox, so the engine provides the
+subset of Iceberg semantics the CDC sink needs, in pure PySpark + manifest
+JSON. The public surface is deliberately shaped like the Iceberg operations
+named in the north star, and the module is swappable for a real Iceberg
+catalog (issue `MERGE INTO ... WHEN MATCHED ...` instead of `merge()`) with
+no change to the rest of the engine:
+
+  * snapshot isolation + time travel   -> versioned manifests, atomic pointer
+  * `MERGE INTO` row-level upsert      -> :meth:`LakeTable.merge` (COW)
+  * `bucket(N, conv_id)` partitioning  -> xxhash64 key buckets; a merge
+    rewrites ONLY the buckets its source touches (partition pruning at the
+    write side — the property that bounds rewrite cost at 10^10 rows)
+  * schema evolution / mergeSchema     -> :meth:`LakeTable.evolve_schema`
+    (add-column + int->long / float->double widening, mirroring the Hive
+    drift sink, hive-protolib/.../HiveMetastoreTarget.java:228-255)
+  * exactly-once sink                  -> commit keys recorded per snapshot;
+    replaying a committed micro-batch is a no-op (the reference's offset
+    tracker, ProductionSourceOffsetTracker.java:59-85, upgraded from
+    at-least-once to exactly-once)
+
+MERGE semantics implemented (the JDBC/Kudu target op-code contract,
+jdbc-lib/.../lib/jdbc/JdbcRecordReader.java:48-77 and
+kudu-protolib/.../kudu/KuduTarget.java:338-372):
+
+    MERGE INTO t USING s ON <keys>
+      WHEN MATCHED AND s.lsn > t._lsn AND s.op = 2  THEN DELETE
+      WHEN MATCHED AND s.lsn > t._lsn               THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.op != 2                THEN INSERT *
+
+The `s.lsn > t._lsn` guard makes replays idempotent even without the commit
+key (defense in depth: at-least-once delivery collapses to exactly-once
+state).
+
+Concurrency contract: single writer (the streaming query); readers see
+committed snapshots only (manifest pointer flips atomically via rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacollector_spark.model import LSN_COLUMN, OP_DELETE
+
+_BUCKET_COL = "_bucket"
+DELETED_COLUMN = "_deleted"
+
+# legal type widenings (Hive/Iceberg-style promotion only)
+_WIDENINGS = {
+    ("integer", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+@dataclass
+class MergeResult:
+    """Per-merge lineage record (the reference's per-batch meters,
+    ProductionPipelineRunner.java:723-745)."""
+
+    version: int
+    commit_key: str | None
+    noop: bool = False
+    rows_source: int = 0
+    rows_inserted: int = 0
+    rows_updated: int = 0
+    rows_deleted: int = 0
+    rows_lww_skipped: int = 0  # stale source rows rejected by the lsn guard
+    buckets_touched: int = 0
+    max_lsn: int | None = None
+    evolved_columns: list[str] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+class LakeTable:
+    """A bucketed copy-on-write table rooted at a directory.
+
+    Layout::
+
+        <root>/_manifests/v{N:010d}.json   immutable snapshot manifests
+        <root>/_manifests/VERSION          atomic current-version pointer
+        <root>/data/v{N}/_bucket=<b>/*.parquet   data files (immutable)
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._manifest = self._load_manifest()
+
+    # ---------------------------------------------------------------- setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_columns: list[str],
+        num_buckets: int = 32,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        root = path.rstrip("/")
+        if os.path.exists(root):
+            if not overwrite:
+                raise FileExistsError(root)
+            shutil.rmtree(root)
+        os.makedirs(os.path.join(root, "_manifests"))
+        os.makedirs(os.path.join(root, "data"))
+        meta_fields = [
+            T.StructField(LSN_COLUMN, T.LongType(), True),
+            T.StructField(DELETED_COLUMN, T.BooleanType(), True),
+        ]
+        names = set(schema.fieldNames())
+        schema = T.StructType(
+            list(schema.fields) + [f for f in meta_fields if f.name not in names]
+        )
+        manifest = {
+            "version": 0,
+            "schema": schema.jsonValue(),
+            "key_columns": key_columns,
+            "num_buckets": num_buckets,
+            "files": {},  # bucket(str) -> [relative paths]
+            "committed_keys": [],
+            "lineage": [],
+        }
+        cls._write_manifest(root, manifest)
+        return cls(spark, root)
+
+    @staticmethod
+    def _manifest_path(root: str, version: int) -> str:
+        return os.path.join(root, "_manifests", f"v{version:010d}.json")
+
+    @classmethod
+    def _write_manifest(cls, root: str, manifest: dict) -> None:
+        v = manifest["version"]
+        mpath = cls._manifest_path(root, v)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        vtmp = os.path.join(root, "_manifests", "VERSION.tmp")
+        with open(vtmp, "w") as f:
+            f.write(str(v))
+        os.replace(vtmp, os.path.join(root, "_manifests", "VERSION"))
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            with open(os.path.join(self.path, "_manifests", "VERSION")) as f:
+                version = int(f.read().strip())
+        with open(self._manifest_path(self.path, version)) as f:
+            return json.load(f)
+
+    def refresh(self) -> "LakeTable":
+        self._manifest = self._load_manifest()
+        return self
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def version(self) -> int:
+        return self._manifest["version"]
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._manifest["schema"])
+
+    @property
+    def key_columns(self) -> list[str]:
+        return list(self._manifest["key_columns"])
+
+    @property
+    def num_buckets(self) -> int:
+        return self._manifest["num_buckets"]
+
+    @property
+    def lineage(self) -> list[dict]:
+        return list(self._manifest["lineage"])
+
+    def committed(self, commit_key: str) -> bool:
+        return commit_key in self._manifest["committed_keys"]
+
+    def bucket_expr(self, *key_cols: str):
+        """bucket(N, key) — same role as Iceberg's bucket transform."""
+        cols = list(key_cols) or [self.key_columns[0]]
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(self.num_buckets))
+
+    # ----------------------------------------------------------------- read
+    def _files_for(self, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+        out: list[str] = []
+        for b, rels in manifest["files"].items():
+            if buckets is None or int(b) in buckets:
+                out.extend(os.path.join(self.path, r) for r in rels)
+        return out
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        """Current (or time-travel) snapshot as a DataFrame.
+
+        Old data files that predate an evolved schema are read through the
+        current schema — missing columns surface as NULL, exactly like
+        Iceberg's add-column evolution.
+        """
+        manifest = self._manifest if version is None else self._load_manifest(version)
+        schema = T.StructType.fromJson(manifest["schema"])
+        files = self._files_for(manifest, buckets)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if not include_meta:
+            # live rows only: delete tombstones are an implementation detail
+            df = df.where(
+                ~F.coalesce(F.col(DELETED_COLUMN), F.lit(False))
+            ).drop(LSN_COLUMN, DELETED_COLUMN)
+        return df
+
+    # ------------------------------------------------------ schema evolution
+    def evolve_schema(self, source_schema: T.StructType) -> list[str]:
+        """Diff an incoming batch schema against the table schema; add new
+        columns and apply legal widenings. Returns the evolved column names.
+
+        The HiveMetadataProcessor drift-detection + HiveMetastoreTarget
+        ALTER TABLE ADD COLUMNS flow (SURVEY.md §2.6), as in-place manifest
+        schema replacement — old files need no rewrite because reads go
+        through the current schema.
+        """
+        current = {f.name: f for f in self.schema.fields}
+        evolved: list[str] = []
+        new_fields = [f for f in self.schema.fields]
+        for f_new in source_schema.fields:
+            if f_new.name.startswith("_"):
+                continue
+            cur = current.get(f_new.name)
+            if cur is None:
+                new_fields.append(T.StructField(f_new.name, f_new.dataType, True))
+                evolved.append(f_new.name)
+            elif cur.dataType != f_new.dataType:
+                pair = (cur.dataType.typeName(), f_new.dataType.typeName())
+                if pair in _WIDENINGS:
+                    idx = [x.name for x in new_fields].index(f_new.name)
+                    new_fields[idx] = T.StructField(f_new.name, f_new.dataType, True)
+                    evolved.append(f_new.name)
+        if evolved:
+            # keep LSN column last for readability
+            new_fields.sort(key=lambda x: x.name == LSN_COLUMN)
+            self._manifest["schema"] = T.StructType(new_fields).jsonValue()
+        return evolved
+
+    # ---------------------------------------------------------------- merge
+    def merge(
+        self,
+        source: DataFrame,
+        commit_key: str | None = None,
+        evolve: bool = True,
+    ) -> MergeResult:
+        """Apply a COLLAPSED change batch (one row per key, with `op` and
+        `lsn` columns) to the table. Copy-on-write at bucket granularity.
+
+        The caller collapses first (operators.collapse.lww_collapse); this
+        method enforces the cross-batch LWW guard `s.lsn > t._lsn`.
+        """
+        if commit_key is not None and self.committed(commit_key):
+            return MergeResult(
+                version=self.version, commit_key=commit_key, noop=True
+            )
+
+        evolved: list[str] = []
+        if evolve:
+            envelope = {"op", "lsn", "seq_in_tx", "src_table", "server_id", "commit_ts"}
+            payload_schema = T.StructType(
+                [
+                    f
+                    for f in source.schema.fields
+                    if f.name not in envelope and not f.name.startswith("old_")
+                ]
+            )
+            evolved = self.evolve_schema(payload_schema)
+
+        schema = self.schema
+        keys = self.key_columns
+        meta = (LSN_COLUMN, DELETED_COLUMN)
+        data_cols = [f.name for f in schema.fields if f.name not in meta]
+        non_key_cols = [c for c in data_cols if c not in keys]
+
+        # normalize source: every table column present (nulls for columns the
+        # batch doesn't carry), correct types
+        s = source
+        for f_ in schema.fields:
+            if f_.name in meta:
+                continue
+            if f_.name in s.columns:
+                s = s.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+            else:
+                s = s.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        s = s.select("op", "lsn", *data_cols).withColumn(
+            _BUCKET_COL, self.bucket_expr(*keys)
+        )
+
+        # bucket pruning: only buckets present in the source are rewritten.
+        # The distinct-bucket list is tiny (<= num_buckets ints) — this
+        # collect is a metadata operation, not a data operation.
+        touched = [
+            r[0] for r in s.select(_BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            return MergeResult(version=self.version, commit_key=commit_key, noop=True)
+
+        target = self.read(buckets=touched, include_meta=True).withColumn(
+            _BUCKET_COL, self.bucket_expr(*keys)
+        )
+
+        skey = [f"s_{k}" for k in keys]
+        s_pref = s.select(
+            *[F.col(k).alias(f"s_{k}") for k in keys],
+            F.col(_BUCKET_COL).alias("s__bucket"),
+            "op",
+            "lsn",
+            *[F.col(c).alias(f"s_{c}") for c in non_key_cols],
+        )
+        cond = [F.col(f"s_{k}").eqNullSafe(F.col(k)) for k in keys]
+        joined = target.join(s_pref, on=cond, how="full_outer")
+
+        src_matched = F.col("lsn").isNotNull()
+        tgt_matched = F.col(LSN_COLUMN).isNotNull()  # live row OR tombstone
+        fresh = src_matched & (~tgt_matched | (F.col("lsn") > F.col(LSN_COLUMN)))
+
+        # Deletes always materialize a tombstone (even for never-seen keys):
+        # the tombstone carries the per-key LSN high-water mark, so a stale
+        # out-of-order insert arriving in a LATER micro-batch is rejected by
+        # the same `s.lsn > t._lsn` guard instead of resurrecting the row.
+        action = (
+            F.when(~src_matched, F.lit("keep"))
+            .when(~fresh, F.lit("stale"))
+            .when(F.col("op") == OP_DELETE, F.lit("delete"))
+            .when(tgt_matched, F.lit("update"))  # includes tombstone resurrection
+            .otherwise(F.lit("insert"))
+        )
+
+        from_src = F.col("_action").isin("insert", "update", "delete")
+        out_cols = []
+        for k in keys:
+            out_cols.append(
+                F.when(from_src, F.col(f"s_{k}")).otherwise(F.col(k)).alias(k)
+            )
+        is_tombstone = F.col("_action") == "delete"
+        for c in non_key_cols:
+            out_cols.append(
+                F.when(is_tombstone, F.lit(None))
+                .when(from_src, F.col(f"s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        out_cols.append(
+            F.when(from_src, F.col("lsn")).otherwise(F.col(LSN_COLUMN)).alias(LSN_COLUMN)
+        )
+        out_cols.append(
+            F.when(is_tombstone, F.lit(True))
+            .when(from_src, F.lit(False))
+            .otherwise(F.coalesce(F.col(DELETED_COLUMN), F.lit(False)))
+            .alias(DELETED_COLUMN)
+        )
+        out_cols.append(
+            F.when(from_src | (F.col("_action").isin("stale", "keep") & tgt_matched), 1)
+            .otherwise(0)
+            .alias("_emit")
+        )
+
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge-{uuid.uuid4().hex[:8]}")
+        tagged = joined.withColumn("_action", action).observe(
+            obs,
+            F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
+            F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
+            F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
+            F.sum(F.when(F.col("_action") == "stale", 1).otherwise(0)).alias("stale"),
+            F.sum(F.when(F.col("lsn").isNotNull(), 1).otherwise(0)).alias("src"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        result = tagged.select(
+            "_action",
+            F.coalesce(F.col(_BUCKET_COL), F.col("s__bucket")).alias(_BUCKET_COL),
+            *out_cols,
+        )
+
+        new_version = self.version + 1
+        out_dir_rel = os.path.join("data", f"v{new_version}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        (
+            result.where(F.col("_emit") == 1)
+            .drop("_action", "_emit")
+            .repartition(max(len(touched), 1), F.col(_BUCKET_COL))
+            .write.partitionBy(_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        m = obs.get
+
+        # collect the new files per bucket from the written directory
+        new_files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            rels = [
+                os.path.join(out_dir_rel, entry, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+            if rels:
+                new_files[b] = rels
+
+        files = dict(self._manifest["files"])
+        for b in touched:
+            files[str(b)] = new_files.get(str(b), [])
+
+        res = MergeResult(
+            version=new_version,
+            commit_key=commit_key,
+            rows_source=int(m["src"]),
+            rows_inserted=int(m["ins"]),
+            rows_updated=int(m["upd"]),
+            rows_deleted=int(m["del"]),
+            rows_lww_skipped=int(m["stale"]),
+            buckets_touched=len(touched),
+            max_lsn=None if m["max_lsn"] is None else int(m["max_lsn"]),
+            evolved_columns=evolved,
+        )
+        manifest = dict(self._manifest)
+        manifest["version"] = new_version
+        manifest["files"] = files
+        manifest["committed_keys"] = list(self._manifest["committed_keys"]) + (
+            [commit_key] if commit_key is not None else []
+        )
+        manifest["lineage"] = list(self._manifest["lineage"]) + [res.as_dict()]
+        self._write_manifest(self.path, manifest)
+        self._manifest = manifest
+        return res
+
+    # ------------------------------------------------------------- maintain
+    def compact(self, max_files_per_bucket: int = 1) -> int:
+        """Rewrite buckets whose file count exceeds the threshold — Iceberg's
+        rewrite_data_files; the reference analog is the MapReduce
+        Avro→Parquet converter executor (SURVEY.md §2.5). Returns the number
+        of buckets rewritten."""
+        victims = [
+            int(b)
+            for b, rels in self._manifest["files"].items()
+            if len(rels) > max_files_per_bucket
+        ]
+        if not victims:
+            return 0
+        schema = self.schema
+        df = self.spark.read.schema(schema).parquet(
+            *self._files_for(self._manifest, victims)
+        ).withColumn(_BUCKET_COL, self.bucket_expr(*self.key_columns))
+        new_version = self.version + 1
+        out_dir_rel = os.path.join("data", f"v{new_version}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        (
+            df.repartition(len(victims), F.col(_BUCKET_COL))
+            .write.partitionBy(_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files = dict(self._manifest["files"])
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            files[b] = [
+                os.path.join(out_dir_rel, entry, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+        manifest = dict(self._manifest)
+        manifest["version"] = new_version
+        manifest["files"] = files
+        self._write_manifest(self.path, manifest)
+        self._manifest = manifest
+        return len(victims)
