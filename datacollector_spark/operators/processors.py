@@ -1,0 +1,337 @@
+"""Processor-stage operators — the reference's per-record processors
+(SURVEY.md §2.3) re-expressed as columnar DataFrame transforms.
+
+Every function takes and returns a DataFrame; compose them like SDC wires
+stages into lanes. Nothing here is per-row Python: the slow-path escapes
+(custom masking, scripting) are Arrow-batched pandas UDFs.
+
+Reference analogs cited per function. The reference mutates a record tree in
+place; we project columns — same semantics, columnar execution, and Catalyst
+fuses consecutive stages into one WholeStageCodegen span, which is the scale
+story: a 10-stage pipeline costs one pass over the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ----------------------------------------------------------------- routing
+def stream_selector(
+    df: DataFrame, conditions: Sequence[tuple[str, str]], default_lane: str = "default"
+) -> dict[str, DataFrame]:
+    """Route rows to named lanes by ORDERED SQL predicates; first match wins.
+
+    basic-lib/.../processor/selector/SelectorProcessor.java:114. Returns
+    {lane: DataFrame}. Single-pass: a routing column is computed once, each
+    lane is a filter on it (Catalyst prunes the others per lane).
+    """
+    route = None
+    for lane, cond in conditions:
+        route = (
+            F.when(F.expr(cond), F.lit(lane))
+            if route is None
+            else route.when(F.expr(cond), F.lit(lane))
+        )
+    route = route.otherwise(F.lit(default_lane)) if route is not None else F.lit(default_lane)
+    routed = df.withColumn("_lane", route)
+    lanes = [lane for lane, _ in conditions] + [default_lane]
+    return {lane: routed.where(F.col("_lane") == lane).drop("_lane") for lane in lanes}
+
+
+def precondition_filter(
+    df: DataFrame, condition: str, required_fields: Sequence[str] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """(passing, error) split — per-stage preconditions + required fields
+    (container/.../runner/PreconditionsPredicate.java:52-74,
+    RequiredFieldsPredicate.java). The error lane is the reference's
+    error-sink routing (ErrorSink.java)."""
+    pred = F.expr(condition) if condition else F.lit(True)
+    for field in required_fields:
+        pred = pred & F.col(field).isNotNull()
+    return df.where(pred), df.where(~F.coalesce(pred, F.lit(False)))
+
+
+# ------------------------------------------------------------- projections
+def field_remover(df: DataFrame, columns: Sequence[str], keep: bool = False) -> DataFrame:
+    """KEEP / REMOVE listed fields — fieldfilter/FieldFilterProcessor.java:51-69."""
+    if keep:
+        return df.select(*[c for c in df.columns if c in set(columns)])
+    return df.drop(*columns)
+
+
+def field_renamer(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """fieldrenamer/FieldRenamerProcessor.java (regex renames resolved by the
+    caller; collisions are an error, matching ToError semantics)."""
+    out = df
+    for a, b in renames.items():
+        if b in out.columns:
+            raise ValueError(f"rename collision: {a} -> {b}")
+        out = out.withColumnRenamed(a, b)
+    return out
+
+
+def field_order(
+    df: DataFrame, order: Sequence[str], extra: str = "error", defaults: dict | None = None
+) -> DataFrame:
+    """Reorder columns; missing columns get defaults (or error), extras are
+    dropped or error — fieldorder/FieldOrderProcessor.java."""
+    defaults = defaults or {}
+    cols = []
+    for c in order:
+        if c in df.columns:
+            cols.append(F.col(c))
+        elif c in defaults:
+            cols.append(F.lit(defaults[c]).alias(c))
+        else:
+            raise ValueError(f"missing column {c} with no default")
+    extras = [c for c in df.columns if c not in set(order)]
+    if extras and extra == "error":
+        raise ValueError(f"unexpected columns {extras}")
+    return df.select(*cols)
+
+
+def expression_evaluator(df: DataFrame, expressions: dict[str, str]) -> DataFrame:
+    """Set columns from SQL expressions — the EL Expression Evaluator
+    (basic-lib/.../processor/expression/ExpressionProcessor.java); the EL
+    function families map to pyspark.sql.functions (SURVEY.md §2.8)."""
+    return df.withColumns({name: F.expr(e) for name, e in expressions.items()})
+
+
+# ------------------------------------------------------------- conversions
+def field_type_converter(df: DataFrame, conversions: dict[str, str | T.DataType]) -> DataFrame:
+    """Cast columns — fieldtypeconverter/FieldTypeConverterProcessor.java:63-188.
+    String->timestamp with a format goes through to_timestamp."""
+    out = {}
+    for col, target in conversions.items():
+        if isinstance(target, str) and target.startswith("timestamp:"):
+            out[col] = F.to_timestamp(F.col(col), target.split(":", 1)[1])
+        else:
+            out[col] = F.col(col).cast(target)
+    return df.withColumns(out)
+
+
+def value_replacer(
+    df: DataFrame,
+    null_defaults: dict[str, object] | None = None,
+    conditional: Sequence[tuple[str, str, object]] = (),
+) -> DataFrame:
+    """NULL backfill + conditional replacement —
+    fieldvaluereplacer/FieldValueReplacerProcessor.java."""
+    out = df
+    if null_defaults:
+        out = out.withColumns(
+            {c: F.coalesce(F.col(c), F.lit(v)) for c, v in null_defaults.items()}
+        )
+    for col, cond, value in conditional:
+        out = out.withColumn(col, F.when(F.expr(cond), F.lit(value)).otherwise(F.col(col)))
+    return out
+
+
+# ----------------------------------------------------------- string shapes
+def field_splitter(
+    df: DataFrame, column: str, separator: str, to: Sequence[str], too_few: str = "keep_null"
+) -> DataFrame:
+    """Split a string column into N columns by regex —
+    splitter/SplitterProcessor.java:147 (too-few policy: nulls)."""
+    parts = F.split(F.col(column), separator)
+    return df.withColumns(
+        {name: F.element_at(parts, i + 1) for i, name in enumerate(to)}
+    )
+
+
+def field_merger(df: DataFrame, into: str, columns: Sequence[str]) -> DataFrame:
+    """Compose columns into a struct — fieldmerger/FieldMergerProcessor.java."""
+    return df.withColumn(into, F.struct(*[F.col(c) for c in columns]))
+
+
+def field_flattener(df: DataFrame, column: str, separator: str = "_") -> DataFrame:
+    """Flatten one struct level with a name separator —
+    fieldflattener/FieldFlattenerProcessor.java."""
+    names = [f.name for f in df.schema[column].dataType.fields]
+    flat = [F.col(f"{column}.{n}").alias(f"{column}{separator}{n}") for n in names]
+    return df.select(*[c for c in df.columns if c != column], *flat)
+
+
+def list_pivot(df: DataFrame, column: str, keep_position: bool = False) -> DataFrame:
+    """One row per list element — listpivot/ListPivotProcessor.java, the
+    reference's only row-multiplying processor. posexplode when positions
+    are kept."""
+    if keep_position:
+        others = [c for c in df.columns if c != column]
+        return df.select(*others, F.posexplode(column).alias(f"{column}_pos", column))
+    return df.withColumn(column, F.explode(column))
+
+
+def field_zip(df: DataFrame, into: str, left: str, right: str) -> DataFrame:
+    """Element-wise zip of two array columns — zip/FieldZipProcessor.java."""
+    return df.withColumn(into, F.arrays_zip(F.col(left), F.col(right)))
+
+
+# ---------------------------------------------------------------- hashing
+def field_hasher(
+    df: DataFrame, columns: Sequence[str], target: str, algo: str = "sha256"
+) -> DataFrame:
+    """Hash selected fields into a target field —
+    fieldhasher/FieldHasherProcessor.java (record-hash mode = pass all
+    columns). xxhash64 is the fast non-crypto path (murmur3 analog)."""
+    joined = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns])
+    if algo == "md5":
+        h = F.md5(joined)
+    elif algo == "sha1":
+        h = F.sha1(joined)
+    elif algo in ("sha256", "sha512"):
+        h = F.sha2(joined, int(algo[3:]))
+    elif algo == "xxhash64":
+        h = F.xxhash64(*[F.col(c) for c in columns]).cast("string")
+    elif algo == "crc32":
+        h = F.crc32(joined.cast("binary")).cast("string")
+    else:
+        raise ValueError(f"unknown algo {algo}")
+    return df.withColumn(target, h)
+
+
+# ---------------------------------------------------------------- masking
+def field_masker(
+    df: DataFrame,
+    columns: Sequence[str],
+    mask_type: str = "VARIABLE_LENGTH",
+    custom_mask: str | None = None,
+    regex: str | None = None,
+    groups_to_show: int = 0,
+) -> DataFrame:
+    """Field Masker — fieldmask/FieldMaskProcessor.java, MaskType.java:26-30.
+
+    FIXED_LENGTH: 10 x's. VARIABLE_LENGTH: one x per char. CUSTOM: mask
+    pattern where '#' reveals the original char. REGEX: mask everything
+    except the first `groups_to_show` capture groups.
+    """
+    def mask_col(c: Column) -> Column:
+        if mask_type == "FIXED_LENGTH":
+            return F.when(c.isNotNull(), F.lit("x" * 10))
+        if mask_type == "VARIABLE_LENGTH":
+            return F.regexp_replace(c, ".", "x")
+        if mask_type == "CUSTOM":
+            if not custom_mask:
+                raise ValueError("CUSTOM mask requires custom_mask")
+            # '#' keeps the source char at that position; everything past the
+            # mask is dropped (reference semantics)
+            parts = []
+            for i, ch in enumerate(custom_mask):
+                src = F.substring(c, i + 1, 1)
+                parts.append(src if ch == "#" else F.when(src != "", F.lit(ch)).otherwise(F.lit("")))
+            return F.when(c.isNotNull(), F.concat(*parts))
+        if mask_type == "REGEX":
+            if not regex:
+                raise ValueError("REGEX mask requires regex")
+            shown = F.concat(
+                *[F.regexp_extract(c, regex, g + 1) for g in range(groups_to_show)]
+            ) if groups_to_show else F.lit("")
+            return F.when(c.rlike(regex), shown).otherwise(F.regexp_replace(c, ".", "x"))
+        raise ValueError(f"unknown mask_type {mask_type}")
+
+    return df.withColumns({c: mask_col(F.col(c)) for c in columns})
+
+
+# ------------------------------------------------------------ parse stages
+def json_parser(df: DataFrame, column: str, schema: T.StructType | str, into: str) -> DataFrame:
+    """Parse a JSON string field — jsonparser/JsonParserProcessor.java."""
+    return df.withColumn(into, F.from_json(F.col(column), schema))
+
+
+def log_parser(df: DataFrame, column: str, pattern: str, groups: dict[str, int]) -> DataFrame:
+    """Regex log parse into fields — logparser/LogParserProcessor.java
+    (grok/apache formats reduce to a regex with named groups)."""
+    return df.withColumns(
+        {name: F.regexp_extract(F.col(column), pattern, idx) for name, idx in groups.items()}
+    )
+
+
+def base64_codec(df: DataFrame, column: str, into: str, decode: bool = False) -> DataFrame:
+    """base64/Base64BaseProcesssor.java."""
+    col = F.unbase64(F.col(column)) if decode else F.base64(F.col(column))
+    return df.withColumn(into, col)
+
+
+# -------------------------------------------------------------- lookup/join
+def static_lookup(
+    df: DataFrame, mapping: dict, key_column: str, value_column: str, default=None
+) -> DataFrame:
+    """Local KV lookup — basic-lib/.../processor/kv/local/LocalLookupProcessor.java.
+    Literal map, evaluated JVM-side (no shuffle, no UDF)."""
+    pairs = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    m = F.create_map(*pairs)
+    looked = m[F.col(key_column)]
+    if default is not None:
+        looked = F.coalesce(looked, F.lit(default))
+    return df.withColumn(value_column, looked)
+
+
+def broadcast_lookup(
+    df: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    multiple: str = "FIRST_ONLY",
+    order_by: str | None = None,
+) -> DataFrame:
+    """Dimension lookup as a broadcast-hash join — the scale-correct form of
+    JDBC/HBase/Redis lookups (jdbc-lib/.../jdbclookup/JdbcLookupProcessor.java).
+    FIRST_ONLY collapses the dim to one row per key (deterministic via
+    order_by); SPLIT keeps 1:N multiplicity
+    (basic-lib/.../processor/common/MultipleValuesBehavior.java)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if multiple == "FIRST_ONLY":
+        order = [F.col(order_by)] if order_by else [F.col(c) for c in dim.columns]
+        others = [c for c in dim.columns if c not in keys]
+        dim = (
+            dim.groupBy(*keys)
+            .agg(F.min_by(F.struct(*others), F.struct(*order)).alias("_v"))
+            .select(*keys, "_v.*")
+        )
+    return df.join(F.broadcast(dim), on=keys, how=how)
+
+
+# ------------------------------------------------------------ dedup stage
+def record_deduplicator(
+    df: DataFrame, columns: Sequence[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(unique, duplicate) split by hash of selected fields — the Record
+    Deduplicator (basic-lib/.../dedup/DeDupProcessor.java:122-143). Batch
+    form; the streaming form is dropDuplicatesWithinWatermark."""
+    cols = list(columns) if columns else list(df.columns)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.monotonically_increasing_id())
+    tagged = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        tagged.where(F.col("_rn") == 1).drop("_rn"),
+        tagged.where(F.col("_rn") > 1).drop("_rn"),
+    )
+
+
+# ----------------------------------------------------- scripting (pandas)
+def scripting_processor(
+    df: DataFrame,
+    func: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Arbitrary per-batch user code over Arrow batches — the vectorized
+    replacement for the JavaScript/Jython/Groovy scripting processors
+    (commonlib/.../scripting/AbstractScriptingProcessor.java:207-253). The
+    user function sees a pandas DataFrame per partition chunk ('records' in
+    the reference's binding), never a Python loop per row."""
+    out_schema = schema or df.schema
+
+    def run(batches):
+        for pdf in batches:
+            yield func(pdf)
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,83 @@
+"""Transcript-payload transform stages for the CDC pipeline.
+
+The north star names three StreamSets-processor equivalents that must run
+vectorized inside the ingest path: field masking, type coercion, and
+role/tool normalization. All three are built here from the generic
+processors (operators/processors.py); the PII masker is the designated
+pandas/Arrow UDF (Arrow batches, no per-row Python).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# role normalization map — Field Value Replacer + Local KV lookup combo
+_ROLE_CANON = {
+    "user": "user", "human": "user", "usr": "user",
+    "assistant": "assistant", "ai": "assistant", "model": "assistant", "bot": "assistant",
+    "system": "system", "sys": "system",
+    "tool": "tool", "function": "tool", "tool_call": "tool",
+}
+
+_EMAIL = re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+")
+_LONG_NUM = re.compile(r"\b\d{7,}\b")
+
+
+@pandas_udf(T.StringType())
+def mask_pii(text: pd.Series) -> pd.Series:
+    """Vectorized PII mask over the text column: emails and long digit runs
+    are replaced, preserving length class. This is the Field Masker
+    (fieldmask/FieldMaskProcessor.java) REGEX mode as an Arrow-batched
+    pandas UDF — pandas .str ops run over the whole batch."""
+    out = text.str.replace(_EMAIL, "<email>", regex=True)
+    out = out.str.replace(_LONG_NUM, "<num>", regex=True)
+    return out
+
+
+def normalize_roles(df: DataFrame, column: str = "role") -> DataFrame:
+    """Role normalization: trim/lower + canonical mapping, JVM-side
+    (Local KV lookup, LocalLookupProcessor.java, as a literal map)."""
+    pairs = []
+    for k, v in _ROLE_CANON.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    m = F.create_map(*pairs)
+    cleaned = F.lower(F.trim(F.col(column)))
+    return df.withColumn(column, F.coalesce(m[cleaned], cleaned))
+
+
+def normalize_tools(df: DataFrame, column: str = "tool") -> DataFrame:
+    """Tool normalization: lower/trim, empty string -> NULL (Field Value
+    Replacer NULL-out semantics, FieldValueReplacerProcessor.java)."""
+    cleaned = F.lower(F.trim(F.col(column)))
+    return df.withColumn(
+        column, F.when(cleaned == "", F.lit(None)).otherwise(cleaned)
+    )
+
+
+def coerce_types(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast payload columns to the target schema types — Field Type
+    Converter (FieldTypeConverterProcessor.java:63-188) in one projection."""
+    casts = {
+        f.name: F.col(f.name).cast(f.dataType)
+        for f in schema.fields
+        if f.name in df.columns
+    }
+    return df.withColumns(casts)
+
+
+def transcript_transforms(df: DataFrame, mask_text: bool = True) -> DataFrame:
+    """The standard per-batch transform chain for the transcripts pipeline:
+    role/tool normalization (JVM expressions) + optional PII masking
+    (pandas UDF). One projection; Catalyst fuses the JVM parts around the
+    single Arrow exchange."""
+    out = normalize_roles(df)
+    out = normalize_tools(out)
+    if mask_text:
+        out = out.withColumn("text", mask_pii(F.col("text")))
+    return out

@@ -1,0 +1,224 @@
+"""The CDC ingest pipeline: Structured Streaming changelog tail -> transform
+-> LWW collapse -> MERGE into the lake table, with lineage and exactly-once.
+
+This is the engine's equivalent of the reference's production run loop
+(container/.../execution/runner/common/ProductionPipelineRunner.java:454-502):
+  * micro-batch            = SDC batch (FullPipeBatch)
+  * checkpointLocation     = SDC's offset.json
+    (runner/production/ProductionSourceOffsetTracker.java:59-85)
+  * foreachBatch body      = the stage DAG (transform stages -> target)
+  * commit-key + LSN guard = delivery guarantee, upgraded from SDC's
+    AT_LEAST_ONCE (ProductionPipelineRunner.java:709-716) to exactly-once:
+    a replayed micro-batch is a no-op at the table
+  * lineage table          = SDC's per-batch meters + event records
+    (ProductionPipelineRunner.java:723-745, EventSink)
+  * maxFilesPerTrigger     = SDC's rate limiter (PipelineConfigBean.java:255)
+
+Schema drift: new payload columns arriving in the stream are ALTER-ADDed to
+the table inside the micro-batch, before MERGE (the Hive drift-sink flow,
+SURVEY.md §2.6). A drift that changes the SOURCE schema requires a stream
+restart with the widened read schema — the same contract as the reference's
+Oracle CDC origin, which emits a DDL event and refreshes its schema cache
+(jdbc-lib/.../cdc/oracle/OracleCDCSource.java:460-462): position is held in
+the checkpoint, so the restart resumes losslessly.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacollector_spark.lake.table import LakeTable
+from datacollector_spark.model import changelog_schema, payload_columns_of
+from datacollector_spark.operators.collapse import lww_collapse
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("commit_key", T.StringType()),
+        T.StructField("table_version", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),  # null => batch-level row
+        T.StructField("rows_source", T.LongType()),
+        T.StructField("min_lsn", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("rows_inserted", T.LongType()),
+        T.StructField("rows_updated", T.LongType()),
+        T.StructField("rows_deleted", T.LongType()),
+        T.StructField("rows_lww_skipped", T.LongType()),
+        T.StructField("noop", T.BooleanType()),
+        T.StructField("evolved_columns", T.ArrayType(T.StringType())),
+        T.StructField("wall_s", T.DoubleType()),
+    ]
+)
+
+
+class CdcIngestPipeline:
+    """Tail a changelog directory of parquet 'binlog segments' and apply it
+    to a LakeTable exactly once."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        table: LakeTable,
+        checkpoint_dir: str,
+        source_schema: T.StructType | None = None,
+        transforms=None,  # Callable[[DataFrame], DataFrame] over the batch
+        lineage_dir: str | None = None,
+        max_files_per_trigger: int | None = None,
+        salt_buckets: int | None = None,
+        per_bucket_lineage: bool = True,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.source_schema = source_schema or changelog_schema()
+        self.transforms = transforms
+        self.lineage_dir = lineage_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.salt_buckets = salt_buckets
+        self.per_bucket_lineage = per_bucket_lineage
+        self.batches_applied = 0
+        self.on_batch_applied = None  # test hook (fault injection)
+        # Commit keys are namespaced by the checkpoint identity: stable
+        # across RESTARTS of the same stream (exactly-once replay dedupe),
+        # distinct across DIFFERENT streams into the same table.
+        import hashlib
+
+        self.stream_id = hashlib.sha1(
+            checkpoint_dir.rstrip("/").encode()
+        ).hexdigest()[:12]
+
+    # ------------------------------------------------------------ plumbing
+    def _read_stream(self) -> DataFrame:
+        reader = self.spark.readStream.schema(self.source_schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.source_dir)
+
+    def _write_lineage(self, rows: list[dict]) -> None:
+        if not self.lineage_dir or not rows:
+            return
+        df = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in LINEAGE_SCHEMA.fields) for r in rows],
+            LINEAGE_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    # ----------------------------------------------------------- the batch
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch: transform -> collapse -> merge. Public so batch
+        (non-streaming) backfills can reuse the identical code path."""
+        t0 = time.time()
+        commit_key = f"{self.stream_id}:microbatch-{batch_id}"
+        if self.table.committed(commit_key):
+            # replayed after a crash that hit AFTER table commit but BEFORE
+            # the checkpoint advanced — the exactly-once window
+            self._write_lineage(
+                [
+                    {
+                        "batch_id": batch_id,
+                        "commit_key": commit_key,
+                        "table_version": self.table.version,
+                        "noop": True,
+                        "wall_s": time.time() - t0,
+                    }
+                ]
+            )
+            return
+
+        df = batch_df
+        if self.transforms is not None:
+            df = self.transforms(df)
+
+        payload_cols = [
+            c for c in payload_columns_of(df.schema) if c in df.columns
+        ]
+        keys = self.table.key_columns
+        # cache: the collapsed batch is consumed by up to three actions
+        # (bucket discovery, per-bucket lineage, the merge write); it is
+        # micro-batch-sized, far smaller than the raw events
+        collapsed = lww_collapse(
+            df,
+            key_columns=keys,
+            carry_columns=["op", "lsn"] + [c for c in payload_cols if c not in keys],
+            salt_buckets=self.salt_buckets,
+        ).persist()
+
+        per_bucket: list[dict] = []
+        if self.per_bucket_lineage:
+            # offsets applied per bucket-partition — computed on the collapsed
+            # (small) side, one tiny agg job
+            stats = (
+                collapsed.groupBy(self.table.bucket_expr(*keys).alias("bucket"))
+                .agg(
+                    F.count(F.lit(1)).alias("rows_source"),
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                )
+                .collect()
+            )
+            per_bucket = [
+                {
+                    "batch_id": batch_id,
+                    "commit_key": commit_key,
+                    "bucket": int(r["bucket"]),
+                    "rows_source": r["rows_source"],
+                    "min_lsn": r["min_lsn"],
+                    "max_lsn": r["max_lsn"],
+                }
+                for r in stats
+            ]
+
+        try:
+            res = self.table.merge(collapsed, commit_key=commit_key)
+        finally:
+            collapsed.unpersist()
+        batch_row = {
+            "batch_id": batch_id,
+            "commit_key": commit_key,
+            "table_version": res.version,
+            "rows_source": res.rows_source,
+            "max_lsn": res.max_lsn,
+            "rows_inserted": res.rows_inserted,
+            "rows_updated": res.rows_updated,
+            "rows_deleted": res.rows_deleted,
+            "rows_lww_skipped": res.rows_lww_skipped,
+            "noop": res.noop,
+            "evolved_columns": res.evolved_columns,
+            "wall_s": time.time() - t0,
+        }
+        for row in per_bucket:
+            row["table_version"] = res.version
+        self._write_lineage([batch_row] + per_bucket)
+        self.batches_applied += 1
+        if self.on_batch_applied is not None:
+            self.on_batch_applied(self, batch_id)
+
+    # -------------------------------------------------------------- drivers
+    def run_available_now(self, timeout_s: float | None = None) -> None:
+        """Drain everything currently in the source, then stop — SDC's
+        'reset to end of data' bounded run; Trigger.AvailableNow still honors
+        maxFilesPerTrigger, so the drain is a sequence of micro-batches."""
+        q = (
+            self._read_stream()
+            .writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s) if timeout_s else q.awaitTermination()
+
+    def run_continuous(self, processing_time: str = "5 seconds"):
+        """Tail indefinitely (the production mode). Returns the query."""
+        return (
+            self._read_stream()
+            .writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
