@@ -1,38 +1,840 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry exercises a datacollector_spark operator
+(SURVEY.md §2 inventory); ``oracle_sql()`` holds the DuckDB twin. Column
+names/aliases match pairwise; double aggregates are rounded identically on
+both sides (cross-engine float-sum ordering differs in the last ulp).
+
+The CDC queries derive a deterministic changelog from the ``events`` table
+with pure arithmetic (no engine-specific hashing), so the LWW-collapse +
+MERGE semantics — the engine's core — are oracle-checked end to end.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# deterministic changelog derived from `events` (cross-engine arithmetic)
+# --------------------------------------------------------------------------
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.when(F.pmod("event_id", F.lit(97)) < 3, 2)
+        .when(F.pmod("event_id", F.lit(97)) < 60, 1)
+        .otherwise(3)
+        .cast("int")
+        .alias("op"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.pmod("event_id", F.lit(50)).cast("int").alias("seq_in_tx"),
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod("event_id", F.lit(40)).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (F.pmod("event_id", F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        F.concat(F.col("event_type"), F.lit("-v"), F.col("event_id").cast("string")).alias(
+            "text"
+        ),
+        F.when(
+            F.pmod("event_id", F.lit(4)) == 3,
+            F.concat(F.lit("tool-"), F.pmod("event_id", F.lit(16)).cast("string")),
+        ).alias("tool"),
+        F.col("ts"),
+    )
+    dups = base.where(F.pmod("lsn", F.lit(37)) == 0)  # duplicate delivery
+    return base.unionByName(dups)
+
+
+_CHANGELOG_CTE = """
+changelog AS (
+  SELECT
+    CAST(CASE WHEN event_id % 97 < 3 THEN 2
+              WHEN event_id % 97 < 60 THEN 1 ELSE 3 END AS INT) AS op,
+    CAST(event_id AS BIGINT)            AS lsn,
+    CAST(event_id % 50 AS INT)          AS seq_in_tx,
+    'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(event_id % 40 AS INT)          AS turn_idx,
+    CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                      WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+    event_type || '-v' || CAST(event_id AS VARCHAR) AS text,
+    CASE WHEN event_id % 4 = 3
+         THEN 'tool-' || CAST(event_id % 16 AS VARCHAR) END AS tool,
+    ts
+  FROM events
+  UNION ALL
+  SELECT
+    CAST(CASE WHEN event_id % 97 < 3 THEN 2
+              WHEN event_id % 97 < 60 THEN 1 ELSE 3 END AS INT),
+    CAST(event_id AS BIGINT), CAST(event_id % 50 AS INT),
+    'conv-' || CAST(user_id AS VARCHAR), CAST(event_id % 40 AS INT),
+    CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                      WHEN 2 THEN 'system' ELSE 'tool' END,
+    event_type || '-v' || CAST(event_id AS VARCHAR),
+    CASE WHEN event_id % 4 = 3
+         THEN 'tool-' || CAST(event_id % 16 AS VARCHAR) END,
+    ts
+  FROM events WHERE event_id % 37 = 0
+)
+"""
+
+_LWW_CTE = (
+    _CHANGELOG_CTE
+    + """,
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY lsn, seq_in_tx ORDER BY lsn) AS _rn
+    FROM changelog) WHERE _rn = 1
+),
+last_per_key AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, seq_in_tx DESC) AS _rk
+    FROM dedup) WHERE _rk = 1
+)
+"""
+)
+
+_MD5LONG = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
+
+_SHINGLE_CTE = """
+docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s FROM docs WHERE len(w) < 3
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC core
+# --------------------------------------------------------------------------
+def q_cdc_lww_final_state(spark, sf_dir):
+    from datacollector_spark.operators.collapse import lww_collapse
+
+    collapsed = lww_collapse(_changelog(spark, sf_dir))
+    return collapsed.where(F.col("op") != 2).select(
+        "conv_id", "turn_idx", "text", "lsn"
+    )
+
+
+def q_cdc_lake_merge_final_state(spark, sf_dir):
+    """Full engine path: collapse + LakeTable MERGE (tombstones, LSN guard,
+    bucket COW), then read back the committed snapshot."""
+    from datacollector_spark.lake import LakeTable
+    from datacollector_spark.model import transcripts_schema
+    from datacollector_spark.operators.collapse import lww_collapse
+
+    table = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="dcs-lake-"),
+        transcripts_schema(),
+        ["conv_id", "turn_idx"],
+        num_buckets=16,
+        overwrite=True,
+    )
+    table.merge(lww_collapse(_changelog(spark, sf_dir)), commit_key="verify")
+    return table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def q_cdc_op_decode(spark, sf_dir):
+    # OperationType.java:29-33 code -> name decode + distribution
+    name = (
+        F.when(F.col("op") == 1, "INSERT")
+        .when(F.col("op") == 2, "DELETE")
+        .when(F.col("op") == 3, "UPDATE")
+        .otherwise("UNSUPPORTED")
+    )
+    return (
+        _changelog(spark, sf_dir)
+        .select(name.alias("op_name"))
+        .groupBy("op_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cdc_dedup_rate(spark, sf_dir):
+    df = _changelog(spark, sf_dir)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.countDistinct("lsn", "seq_in_tx").alias("n_logical"),
+        (F.count(F.lit(1)) - F.countDistinct("lsn", "seq_in_tx")).alias("n_duplicates"),
+    )
+
+
+# --------------------------------------------------------------------------
+# processor stages (SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+def q_proc_stream_selector(spark, sf_dir):
+    from datacollector_spark.operators.processors import stream_selector
+
+    lanes = stream_selector(
+        _t(spark, sf_dir, "events"),
+        [("errors", "event_type = 'error'"), ("high", "value >= 900")],
+        default_lane="rest",
+    )
+    counts = [
+        df.agg(F.lit(lane).alias("lane"), F.count(F.lit(1)).alias("n"))
+        for lane, df in lanes.items()
+    ]
+    # empty lanes emit nothing (matches SQL GROUP BY semantics)
+    return reduce(DataFrame.unionByName, counts).where(F.col("n") > 0)
+
+
+def q_proc_precondition_filter(spark, sf_dir):
+    from datacollector_spark.operators.processors import precondition_filter
+
+    ok, err = precondition_filter(
+        _t(spark, sf_dir, "events"), "value >= 100", required_fields=["props"]
+    )
+    return ok.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_pass")).join(
+        err.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_error")),
+        "event_type",
+        "full_outer",
+    ).select(
+        "event_type",
+        F.coalesce("n_pass", F.lit(0)).alias("n_pass"),
+        F.coalesce("n_error", F.lit(0)).alias("n_error"),
+    )
+
+
+def q_proc_expression_evaluator(spark, sf_dir):
+    from datacollector_spark.operators.processors import expression_evaluator
+
+    df = expression_evaluator(
+        _t(spark, sf_dir, "lineitem"),
+        {"revenue": "l_extendedprice * (1 - l_discount)"},
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.sum("revenue"), 2).alias("sum_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_proc_field_type_converter(spark, sf_dir):
+    from datacollector_spark.operators.processors import field_type_converter
+
+    df = field_type_converter(
+        _t(spark, sf_dir, "orders"),
+        {"o_totalprice": "decimal(12,2)", "o_orderkey": "string"},
+    )
+    return df.select(
+        F.col("o_orderkey").alias("okey_str"),
+        # decimal cast exercised, compared as double (cross-engine decimal
+        # wire formats differ)
+        F.col("o_totalprice").cast("double").alias("price_dec"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+
+
+def q_proc_field_masker(spark, sf_dir):
+    from datacollector_spark.operators.processors import field_masker
+
+    df = field_masker(
+        _t(spark, sf_dir, "customer"), ["c_name"], mask_type="VARIABLE_LENGTH"
+    )
+    return df.select("c_custkey", F.col("c_name").alias("masked_name"))
+
+
+def q_proc_field_hasher(spark, sf_dir):
+    from datacollector_spark.operators.processors import field_hasher
+
+    df = field_hasher(
+        _t(spark, sf_dir, "customer"), ["c_name", "c_mktsegment"], "rec_hash", "md5"
+    )
+    return df.select("c_custkey", "rec_hash")
+
+
+def q_proc_field_splitter(spark, sf_dir):
+    from datacollector_spark.operators.processors import field_splitter
+
+    df = field_splitter(
+        _t(spark, sf_dir, "part"), "p_type", " ", ["t1", "t2", "t3"]
+    )
+    return df.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_proc_value_replacer(spark, sf_dir):
+    from datacollector_spark.operators.processors import value_replacer
+
+    df = value_replacer(
+        _t(spark, sf_dir, "customer"),
+        conditional=[("c_acctbal", "c_acctbal < 0", 0.0)],
+    )
+    return df.select("c_custkey", F.round("c_acctbal", 2).alias("acctbal_floor"))
+
+
+def q_proc_list_pivot(spark, sf_dir):
+    from datacollector_spark.operators.processors import list_pivot
+
+    df = _t(spark, sf_dir, "part").withColumn("words", F.split("p_name", " "))
+    piv = list_pivot(df.select("p_partkey", "words"), "words")
+    return piv.groupBy(F.col("words").alias("word")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_proc_json_parser(spark, sf_dir):
+    from datacollector_spark.operators.processors import json_parser
+
+    df = json_parser(
+        _t(spark, sf_dir, "events"), "props", "k INT", "parsed"
+    )
+    return df.select("event_id", F.col("parsed.k").alias("k"))
+
+
+def q_proc_base64(spark, sf_dir):
+    from datacollector_spark.operators.processors import base64_codec
+
+    df = base64_codec(
+        _t(spark, sf_dir, "customer").withColumn("b", F.col("c_name").cast("binary")),
+        "b",
+        "name_b64",
+    )
+    return df.select("c_custkey", "name_b64")
+
+
+def q_proc_scripting_pandas(spark, sf_dir):
+    from datacollector_spark.operators.processors import scripting_processor
+
+    def script(pdf):
+        # user 'script' over the batch — vectorized pandas, no row loop
+        out = pdf[["doc_id"]].copy()
+        out["text_len"] = pdf["text"].str.len().astype("int32")
+        return out
+
+    return scripting_processor(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        script,
+        "doc_id long, text_len int",
+    )
+
+
+def q_proc_record_dedup(spark, sf_dir):
+    from datacollector_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type"),
+        ["user_id", "event_type"],
+        "event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# lookups / joins / aggregations
+# --------------------------------------------------------------------------
+def q_lookup_broadcast_dim(spark, sf_dir):
+    from datacollector_spark.operators.processors import broadcast_lookup
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = broadcast_lookup(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part, on="p_partkey"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "brand_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_lookup_static_kv(spark, sf_dir):
+    from datacollector_spark.operators.processors import static_lookup
+
+    region = {
+        int(r["r_regionkey"]): r["r_name"]
+        for r in _t(spark, sf_dir, "region").collect()
+    }
+    df = static_lookup(
+        _t(spark, sf_dir, "nation"), region, "n_regionkey", "region_name"
+    )
+    return df.select("n_nationkey", "n_name", "region_name")
+
+
+def q_agg_metrics_rollup(spark, sf_dir):
+    # the Metric Aggregation processor shape (stats-lib, SURVEY.md §2.3)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def q_window_topk_per_key(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_tpch_top_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    w = Window.orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("l_orderkey", F.round("_rev", 2).alias("revenue"), "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------
+def q_dedup_exact_documents(spark, sf_dir):
+    from datacollector_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id").select(
+        "doc_id", "dup_count"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from datacollector_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=3, threshold=0.4
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from datacollector_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        verify_threshold=0.4,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from datacollector_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, chunks=4
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from datacollector_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from datacollector_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < 8), dim=64, k=5, planes=6
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_text_quality(spark, sf_dir):
+    from datacollector_spark.operators.text import quality_features
+
+    df = quality_features(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        "n_subtokens",
+        "stopword_hits",
+        F.round("uniq_token_ratio", 4).alias("uniq_token_ratio"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    from datacollector_spark.operators.text import lang_id
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from datacollector_spark.operators.text import fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_multimodal_image_features(spark, sf_dir):
+    from datacollector_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=256)
+    feats = extract_image_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        "decode_ok",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feat_sum"
+        ),
+    )
+
+
+def q_multimodal_frame_sampling(spark, sf_dir):
+    from datacollector_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_media,
+    )
+
+    return sample_video_frames(synthesize_media(spark, n=256), every_ms=1000)
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full CDC path (derive changelog -> LWW collapse ->
+    MERGE into a bucketed lake table -> read committed snapshot)."""
+    return q_cdc_lake_merge_final_state(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_final_state": q_cdc_lww_final_state,
+        "cdc_lake_merge_final_state": q_cdc_lake_merge_final_state,
+        "cdc_op_decode": q_cdc_op_decode,
+        "cdc_dedup_rate": q_cdc_dedup_rate,
+        "proc_stream_selector": q_proc_stream_selector,
+        "proc_precondition_filter": q_proc_precondition_filter,
+        "proc_expression_evaluator": q_proc_expression_evaluator,
+        "proc_field_type_converter": q_proc_field_type_converter,
+        "proc_field_masker": q_proc_field_masker,
+        "proc_field_hasher": q_proc_field_hasher,
+        "proc_field_splitter": q_proc_field_splitter,
+        "proc_value_replacer": q_proc_value_replacer,
+        "proc_list_pivot": q_proc_list_pivot,
+        "proc_json_parser": q_proc_json_parser,
+        "proc_base64": q_proc_base64,
+        "proc_scripting_pandas": q_proc_scripting_pandas,
+        "proc_record_dedup": q_proc_record_dedup,
+        "lookup_broadcast_dim": q_lookup_broadcast_dim,
+        "lookup_static_kv": q_lookup_static_kv,
+        "agg_metrics_rollup": q_agg_metrics_rollup,
+        "window_topk_per_key": q_window_topk_per_key,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_orders": q_tpch_top_orders,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_frame_sampling": q_multimodal_frame_sampling,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = {"de": None, "en": None, "es": None, "fr": None}
+    try:
+        from datacollector_spark.operators.text import LANG_MARKERS as _LM
+
+        markers = {k: _LM[k] for k in sorted(_LM)}
+    except Exception:  # pragma: no cover
+        markers = langs
+
+    def hits(lang):
+        lst = ", ".join(f"'{w}'" for w in markers[lang])
+        return (
+            f"len(list_filter([{lst}], m -> list_contains("
+            "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), m)))"
+        )
+
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h_{lang} >= 1 AND h_{lang} = greatest(h_de, h_en, h_es, h_fr) "
+            f"THEN '{lang}'"
+            for lang in ["de", "en", "es", "fr"]
+        )
+        + " ELSE 'und' END"
+    )
+
+    return {
+        "cdc_lww_final_state": f"""
+            WITH {_LWW_CTE}
+            SELECT conv_id, turn_idx, text, lsn
+            FROM last_per_key WHERE op != 2
+        """,
+        "cdc_lake_merge_final_state": f"""
+            WITH {_LWW_CTE}
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM last_per_key WHERE op != 2
+        """,
+        "cdc_op_decode": f"""
+            WITH {_CHANGELOG_CTE}
+            SELECT CASE op WHEN 1 THEN 'INSERT' WHEN 2 THEN 'DELETE'
+                           WHEN 3 THEN 'UPDATE' ELSE 'UNSUPPORTED' END AS op_name,
+                   count(*) AS n
+            FROM changelog GROUP BY 1
+        """,
+        "cdc_dedup_rate": f"""
+            WITH {_CHANGELOG_CTE}
+            SELECT count(*) AS n_delivered,
+                   count(DISTINCT (lsn, seq_in_tx)) AS n_logical,
+                   count(*) - count(DISTINCT (lsn, seq_in_tx)) AS n_duplicates
+            FROM changelog
+        """,
+        "proc_stream_selector": """
+            SELECT lane, count(*) AS n FROM (
+              SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                          WHEN value >= 900 THEN 'high'
+                          ELSE 'rest' END AS lane
+              FROM events) GROUP BY lane
+        """,
+        "proc_precondition_filter": """
+            SELECT event_type,
+                   sum(CASE WHEN value >= 100 AND props IS NOT NULL
+                            THEN 1 ELSE 0 END) AS n_pass,
+                   sum(CASE WHEN value >= 100 AND props IS NOT NULL
+                            THEN 0 ELSE 1 END) AS n_error
+            FROM events GROUP BY event_type
+        """,
+        "proc_expression_evaluator": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "proc_field_type_converter": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS okey_str,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+                   strftime(o_orderdate, '%Y-%m') AS order_month
+            FROM orders
+        """,
+        "proc_field_masker": """
+            SELECT c_custkey, regexp_replace(c_name, '.', 'x', 'g') AS masked_name
+            FROM customer
+        """,
+        "proc_field_hasher": """
+            SELECT c_custkey,
+                   md5(c_name || chr(31) || c_mktsegment) AS rec_hash
+            FROM customer
+        """,
+        "proc_field_splitter": """
+            SELECT NULLIF(split_part(p_type, ' ', 1), '') AS t1,
+                   NULLIF(split_part(p_type, ' ', 2), '') AS t2,
+                   count(*) AS n
+            FROM part GROUP BY 1, 2
+        """,
+        "proc_value_replacer": """
+            SELECT c_custkey,
+                   ROUND(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END, 2)
+                     AS acctbal_floor
+            FROM customer
+        """,
+        "proc_list_pivot": """
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+            GROUP BY word
+        """,
+        "proc_json_parser": """
+            SELECT event_id, CAST(props::JSON->>'k' AS INT) AS k FROM events
+        """,
+        "proc_base64": """
+            SELECT c_custkey, base64(CAST(c_name AS BLOB)) AS name_b64 FROM customer
+        """,
+        "proc_scripting_pandas": """
+            SELECT doc_id, CAST(length(text) AS INT) AS text_len FROM documents
+        """,
+        "proc_record_dedup": """
+            SELECT min(event_id) AS event_id, user_id, event_type,
+                   count(*) AS dup_count
+            FROM events GROUP BY user_id, event_type
+        """,
+        "lookup_broadcast_dim": """
+            SELECT p_brand,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS brand_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "lookup_static_kv": """
+            SELECT n_nationkey, n_name, r_name AS region_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "agg_metrics_rollup": """
+            SELECT event_type, count(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   ROUND(AVG(value), 4) AS avg_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "window_topk_per_key": """
+            SELECT user_id, event_id, value, rank FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events) WHERE rank <= 3
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_top_orders": """
+            SELECT l_orderkey, ROUND(_rev, 2) AS revenue, rank FROM (
+              SELECT l_orderkey, _rev,
+                     row_number() OVER (ORDER BY _rev DESC, l_orderkey) AS rank
+              FROM (
+                SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS _rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY l_orderkey))
+            WHERE rank <= 10
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM shingles a JOIN shingles b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+            FROM shared
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.4
+        """,
+        "ann_cosine_topk": """
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)
+            WHERE rank <= 5
+        """,
+        "text_quality": f"""
+            WITH feat AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                END AS n_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subtokens,
+                CAST({hits('en')} AS INT) AS stopword_hits,
+                len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                  AS n_uniq,
+                length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct,
+                length(text) AS n_chars
+              FROM documents)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, n_subtokens,
+                   stopword_hits,
+                   ROUND(CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1), 4)
+                     AS uniq_token_ratio,
+                   ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE least(1.0,
+                     0.25 * least(1.0, n_tokens / 50.0)
+                     + 0.25 * least(1.0, stopword_hits / 4.0)
+                     + 0.25 * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
+                     + 0.25 * (1.0 - least(1.0,
+                         (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 5.0)))
+                   END, 4) AS quality_score
+            FROM feat
+        """,
+        "text_lang_id": f"""
+            SELECT lang_pred, count(*) AS n FROM (
+              SELECT {lang_case} AS lang_pred FROM (
+                SELECT {hits('de')} AS h_de, {hits('en')} AS h_en,
+                       {hits('es')} AS h_es, {hits('fr')} AS h_fr, text
+                FROM documents))
+            GROUP BY lang_pred
+        """,
+        "text_fingerprint": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT doc_id, min({_MD5LONG.format(x='s')}) AS fp
+            FROM shingles GROUP BY doc_id
+        """,
+    }

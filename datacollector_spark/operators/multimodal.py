@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side contract is real and tested — schema, partitioning, Arrow
+batch shape, UDF signatures — while the actual codec work is stubbed behind
+deterministic fakes (the container ships no image/audio libraries). On a
+real cluster you swap `_decode_image_stub` for PIL/torchvision inside the
+same mapInPandas; nothing else changes.
+
+Mirrors the reference's WHOLE_FILE data format (binary pass-through with
+metadata, commonlib/.../config/DataFormat.java:29-39) extended with the
+feature-extraction stages a training pipeline needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),  # opaque bytes
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feat_dim", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payload = seeded bytes) for
+    exercising the plumbing at any scale — columnar generation, no driver
+    loop."""
+    i = F.col("id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.sha2(F.concat(F.lit("payload-"), i.cast("string")), 512).cast("binary")
+    return spark.range(n).select(
+        i.alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.when(kind == "image", (F.pmod(F.xxhash64(i, F.lit(1)), F.lit(512)) + 32).cast("int")).alias("width"),
+        F.when(kind == "image", (F.pmod(F.xxhash64(i, F.lit(2)), F.lit(512)) + 32).cast("int")).alias("height"),
+        F.when(kind != "image", (F.pmod(F.xxhash64(i, F.lit(3)), F.lit(60000)) + 1000).cast("int")).alias("duration_ms"),
+        payload.alias("payload"),
+    )
+
+
+def _decode_image_stub(payload: bytes, dim: int) -> np.ndarray:
+    """STUB: deterministic fake 'decode + embed'. Replace with a real codec
+    (PIL.Image.open(BytesIO(payload)) → resize → model forward) in prod.
+    Raises NotImplementedError for None payloads, like a real decoder."""
+    if payload is None:
+        raise NotImplementedError("real decoder required for empty payload")
+    rng = np.frombuffer(payload[: dim * 4].ljust(dim * 4, b"\0"), dtype=np.uint32)
+    return (rng[:dim].astype(np.float64) / np.float64(2**32)).astype(np.float32)
+
+
+def extract_image_features(df: DataFrame, dim: int = 16, batch_limit: int = 1024) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: Arrow delivers the binary
+    column in columnar batches; the pandas function vectorizes over the
+    batch. Batch shape (<= batch_limit rows) bounds executor memory when
+    payloads are large — set spark.sql.execution.arrow.maxRecordsPerBatch
+    accordingly at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    feats.append(_decode_image_stub(payload, dim).tolist())
+                    ok.append(True)
+                except NotImplementedError:
+                    feats.append([0.0] * dim)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feat_dim": dim,
+                    "features": feats,
+                    "decode_ok": ok,
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp
+    (posexplode over a JVM-computed sequence — the row-multiplying part needs
+    no Python at all; only the per-frame decode would)."""
+    return (
+        df.where(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))),
+        )
+        .select("media_id", "frame_ts_ms", "mime")
+    )

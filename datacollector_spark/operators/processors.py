@@ -140,8 +140,9 @@ def field_splitter(
     """Split a string column into N columns by regex —
     splitter/SplitterProcessor.java:147 (too-few policy: nulls)."""
     parts = F.split(F.col(column), separator)
+    # try_element_at: the reference's too-few policy (missing parts -> null)
     return df.withColumns(
-        {name: F.element_at(parts, i + 1) for i, name in enumerate(to)}
+        {name: F.try_element_at(parts, F.lit(i + 1)) for i, name in enumerate(to)}
     )
 
 
