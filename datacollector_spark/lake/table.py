@@ -83,9 +83,14 @@ class MergeResult:
     buckets_touched: int = 0
     max_lsn: int | None = None
     evolved_columns: list[str] = field(default_factory=list)
+    # per-bucket source stats (offsets applied per partition) — computed in
+    # the same job that discovers touched buckets, free for lineage
+    bucket_stats: list[dict] = field(default_factory=list)
 
     def as_dict(self) -> dict:
-        return dict(self.__dict__)
+        d = dict(self.__dict__)
+        d.pop("bucket_stats", None)  # kept out of the manifest (size)
+        return d
 
 
 class LakeTable:
@@ -310,109 +315,143 @@ class LakeTable:
                 s = s.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
             else:
                 s = s.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-        s = s.select("op", "lsn", *data_cols).withColumn(
-            _BUCKET_COL, self.bucket_expr(*keys)
+        s = (
+            s.select("op", "lsn", *data_cols)
+            .withColumn(_BUCKET_COL, self.bucket_expr(*keys))
+            .persist()
         )
 
-        # bucket pruning: only buckets present in the source are rewritten.
-        # The distinct-bucket list is tiny (<= num_buckets ints) — this
-        # collect is a metadata operation, not a data operation.
-        touched = [
-            r[0] for r in s.select(_BUCKET_COL).distinct().collect()
+        # One small job discovers the touched buckets AND yields the
+        # per-bucket lineage stats (offsets applied per partition). The
+        # result is <= num_buckets rows — a metadata collect.
+        stats_rows = (
+            s.groupBy(_BUCKET_COL)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        )
+        touched = [int(r[_BUCKET_COL]) for r in stats_rows]
+        bucket_stats = [
+            {
+                "bucket": int(r[_BUCKET_COL]),
+                "rows_source": int(r["rows"]),
+                "min_lsn": int(r["min_lsn"]),
+                "max_lsn": int(r["max_lsn"]),
+            }
+            for r in stats_rows
         ]
         if not touched:
+            s.unpersist()
             return MergeResult(version=self.version, commit_key=commit_key, noop=True)
 
+        target_files = self._files_for(self._manifest, touched)
         target = self.read(buckets=touched, include_meta=True).withColumn(
             _BUCKET_COL, self.bucket_expr(*keys)
         )
 
-        skey = [f"s_{k}" for k in keys]
-        s_pref = s.select(
-            *[F.col(k).alias(f"s_{k}") for k in keys],
-            F.col(_BUCKET_COL).alias("s__bucket"),
-            "op",
-            "lsn",
-            *[F.col(c).alias(f"s_{c}") for c in non_key_cols],
-        )
-        cond = [F.col(f"s_{k}").eqNullSafe(F.col(k)) for k in keys]
-        joined = target.join(s_pref, on=cond, how="full_outer")
-
-        src_matched = F.col("lsn").isNotNull()
-        tgt_matched = F.col(LSN_COLUMN).isNotNull()  # live row OR tombstone
-        fresh = src_matched & (~tgt_matched | (F.col("lsn") > F.col(LSN_COLUMN)))
-
-        # Deletes always materialize a tombstone (even for never-seen keys):
-        # the tombstone carries the per-key LSN high-water mark, so a stale
-        # out-of-order insert arriving in a LATER micro-batch is rejected by
-        # the same `s.lsn > t._lsn` guard instead of resurrecting the row.
-        action = (
-            F.when(~src_matched, F.lit("keep"))
-            .when(~fresh, F.lit("stale"))
-            .when(F.col("op") == OP_DELETE, F.lit("delete"))
-            .when(tgt_matched, F.lit("update"))  # includes tombstone resurrection
-            .otherwise(F.lit("insert"))
-        )
-
-        from_src = F.col("_action").isin("insert", "update", "delete")
-        out_cols = []
-        for k in keys:
-            out_cols.append(
-                F.when(from_src, F.col(f"s_{k}")).otherwise(F.col(k)).alias(k)
+        if not target_files:
+            # Fast path (no join): none of the touched buckets has data yet,
+            # so every source row lands directly — live rows for op!=2,
+            # tombstones for op=2 (tombstones still matter: they carry the
+            # LSN high-water mark against later out-of-order stale inserts).
+            is_del = F.col("op") == OP_DELETE
+            result = s.select(
+                F.when(is_del, F.lit("delete")).otherwise(F.lit("insert")).alias(
+                    "_action"
+                ),
+                F.col(_BUCKET_COL),
+                *[F.col(k) for k in keys],
+                *[
+                    F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in non_key_cols
+                ],
+                F.col("lsn").alias(LSN_COLUMN),
+                is_del.alias(DELETED_COLUMN),
             )
-        is_tombstone = F.col("_action") == "delete"
-        for c in non_key_cols:
-            out_cols.append(
+        else:
+            s_pref = s.select(
+                *[F.col(k).alias(f"s_{k}") for k in keys],
+                F.col(_BUCKET_COL).alias("s__bucket"),
+                "op",
+                "lsn",
+                *[F.col(c).alias(f"s_{c}") for c in non_key_cols],
+            )
+            cond = [F.col(f"s_{k}").eqNullSafe(F.col(k)) for k in keys]
+            joined = target.join(s_pref, on=cond, how="full_outer")
+
+            src_matched = F.col("lsn").isNotNull()
+            tgt_matched = F.col(LSN_COLUMN).isNotNull()  # live row OR tombstone
+            fresh = src_matched & (~tgt_matched | (F.col("lsn") > F.col(LSN_COLUMN)))
+
+            # Deletes always materialize a tombstone (even for never-seen
+            # keys): the tombstone carries the per-key LSN high-water mark,
+            # so a stale out-of-order insert arriving in a LATER micro-batch
+            # is rejected by the same `s.lsn > t._lsn` guard instead of
+            # resurrecting the row.
+            action = (
+                F.when(~src_matched, F.lit("keep"))
+                .when(~fresh, F.lit("stale"))
+                .when(F.col("op") == OP_DELETE, F.lit("delete"))
+                .when(tgt_matched, F.lit("update"))  # incl. tombstone resurrection
+                .otherwise(F.lit("insert"))
+            )
+
+            from_src = F.col("_action").isin("insert", "update", "delete")
+            is_tombstone = F.col("_action") == "delete"
+            out_cols = [
+                F.when(from_src, F.col(f"s_{k}")).otherwise(F.col(k)).alias(k)
+                for k in keys
+            ]
+            out_cols += [
                 F.when(is_tombstone, F.lit(None))
                 .when(from_src, F.col(f"s_{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
+                for c in non_key_cols
+            ]
+            out_cols.append(
+                F.when(from_src, F.col("lsn"))
+                .otherwise(F.col(LSN_COLUMN))
+                .alias(LSN_COLUMN)
             )
-        out_cols.append(
-            F.when(from_src, F.col("lsn")).otherwise(F.col(LSN_COLUMN)).alias(LSN_COLUMN)
-        )
-        out_cols.append(
-            F.when(is_tombstone, F.lit(True))
-            .when(from_src, F.lit(False))
-            .otherwise(F.coalesce(F.col(DELETED_COLUMN), F.lit(False)))
-            .alias(DELETED_COLUMN)
-        )
-        out_cols.append(
-            F.when(from_src | (F.col("_action").isin("stale", "keep") & tgt_matched), 1)
-            .otherwise(0)
-            .alias("_emit")
-        )
+            out_cols.append(
+                F.when(is_tombstone, F.lit(True))
+                .when(from_src, F.lit(False))
+                .otherwise(F.coalesce(F.col(DELETED_COLUMN), F.lit(False)))
+                .alias(DELETED_COLUMN)
+            )
+            result = joined.withColumn("_action", action).select(
+                "_action",
+                F.coalesce(F.col(_BUCKET_COL), F.col("s__bucket")).alias(_BUCKET_COL),
+                *out_cols,
+            )
 
         from pyspark.sql import Observation
 
         obs = Observation(f"merge-{uuid.uuid4().hex[:8]}")
-        tagged = joined.withColumn("_action", action).observe(
+        result = result.observe(
             obs,
             F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
             F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
             F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
             F.sum(F.when(F.col("_action") == "stale", 1).otherwise(0)).alias("stale"),
-            F.sum(F.when(F.col("lsn").isNotNull(), 1).otherwise(0)).alias("src"),
-            F.max("lsn").alias("max_lsn"),
-        )
-        result = tagged.select(
-            "_action",
-            F.coalesce(F.col(_BUCKET_COL), F.col("s__bucket")).alias(_BUCKET_COL),
-            *out_cols,
         )
 
         new_version = self.version + 1
         out_dir_rel = os.path.join("data", f"v{new_version}")
         out_dir = os.path.join(self.path, out_dir_rel)
         (
-            result.where(F.col("_emit") == 1)
-            .drop("_action", "_emit")
+            result.drop("_action")
             .repartition(max(len(touched), 1), F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
         m = obs.get
+        s.unpersist()
 
         # collect the new files per bucket from the written directory
         new_files: dict[str, list[str]] = {}
@@ -436,14 +475,15 @@ class LakeTable:
         res = MergeResult(
             version=new_version,
             commit_key=commit_key,
-            rows_source=int(m["src"]),
-            rows_inserted=int(m["ins"]),
-            rows_updated=int(m["upd"]),
-            rows_deleted=int(m["del"]),
-            rows_lww_skipped=int(m["stale"]),
+            rows_source=sum(b["rows_source"] for b in bucket_stats),
+            rows_inserted=int(m["ins"] or 0),
+            rows_updated=int(m["upd"] or 0),
+            rows_deleted=int(m["del"] or 0),
+            rows_lww_skipped=int(m["stale"] or 0),
             buckets_touched=len(touched),
-            max_lsn=None if m["max_lsn"] is None else int(m["max_lsn"]),
+            max_lsn=max(b["max_lsn"] for b in bucket_stats),
             evolved_columns=evolved,
+            bucket_stats=bucket_stats,
         )
         manifest = dict(self._manifest)
         manifest["version"] = new_version

@@ -74,10 +74,24 @@ def minhash_lsh_pairs(
     that makes this run at 10^8+ docs.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # materialize shingles ONCE; building the signature from the column
+    # reference keeps the (expensive) shingle expression out of each of the
+    # K per-hash transforms (no reliance on expression CSE)
+    shingled = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    sig = shingled.select(
+        "_id",
+        "_sh",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("_sh"), lambda s, i=i: md5_long(s, salt=f"#{i}"))
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
     )
     banded = sig.select(
         "_id",

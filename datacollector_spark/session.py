@@ -46,7 +46,12 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # MERGE's full-outer join can't broadcast; shuffled-hash beats
+        # sort-merge for it (no sort of the rewritten buckets)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -132,52 +132,41 @@ class CdcIngestPipeline:
             return
 
         df = batch_df
-        if self.transforms is not None:
-            df = self.transforms(df)
-
         payload_cols = [
             c for c in payload_columns_of(df.schema) if c in df.columns
         ]
         keys = self.table.key_columns
-        # cache: the collapsed batch is consumed by up to three actions
-        # (bucket discovery, per-bucket lineage, the merge write); it is
-        # micro-batch-sized, far smaller than the raw events
         collapsed = lww_collapse(
             df,
             key_columns=keys,
             carry_columns=["op", "lsn"] + [c for c in payload_cols if c not in keys],
             salt_buckets=self.salt_buckets,
-        ).persist()
-
+        )
+        # Transform AFTER collapse: per-record transforms (mask/normalize)
+        # are row-pure and never touch keys/op/lsn, so they commute with
+        # last-writer-wins — and only the collapse survivors pay the Arrow
+        # round-trip (at a 2% dup + heavy-update rate that is a large cut
+        # in pandas-UDF work). The contract: pipeline transforms must be
+        # per-row pure and key/order-preserving.
+        if self.transforms is not None:
+            collapsed = self.transforms(collapsed)
+        # merge() persists the normalized batch internally and returns the
+        # per-bucket source stats from its bucket-discovery job — the
+        # per-partition lineage (offsets applied per bucket) costs no extra job
+        res = self.table.merge(collapsed, commit_key=commit_key)
         per_bucket: list[dict] = []
         if self.per_bucket_lineage:
-            # offsets applied per bucket-partition — computed on the collapsed
-            # (small) side, one tiny agg job
-            stats = (
-                collapsed.groupBy(self.table.bucket_expr(*keys).alias("bucket"))
-                .agg(
-                    F.count(F.lit(1)).alias("rows_source"),
-                    F.min("lsn").alias("min_lsn"),
-                    F.max("lsn").alias("max_lsn"),
-                )
-                .collect()
-            )
             per_bucket = [
                 {
                     "batch_id": batch_id,
                     "commit_key": commit_key,
-                    "bucket": int(r["bucket"]),
-                    "rows_source": r["rows_source"],
-                    "min_lsn": r["min_lsn"],
-                    "max_lsn": r["max_lsn"],
+                    "bucket": b["bucket"],
+                    "rows_source": b["rows_source"],
+                    "min_lsn": b["min_lsn"],
+                    "max_lsn": b["max_lsn"],
                 }
-                for r in stats
+                for b in res.bucket_stats
             ]
-
-        try:
-            res = self.table.merge(collapsed, commit_key=commit_key)
-        finally:
-            collapsed.unpersist()
         batch_row = {
             "batch_id": batch_id,
             "commit_key": commit_key,
