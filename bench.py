@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("DCS_BENCH_EVENTS", "1000000"))
+N_EVENTS = int(os.environ.get("DCS_BENCH_EVENTS", "4000000"))
 SCALING = os.environ.get("DCS_BENCH_SCALING", "1") == "1"
 LOW_CPUS = int(os.environ.get("DCS_BENCH_LOW_CPUS", str(max(CPUS // 4, 2))))
 
@@ -78,8 +78,9 @@ def _cdc_apply(spark, segments_dir: str, cores: int) -> float:
         os.path.join(work, "ckpt"),
         transforms=transcript_transforms,
         lineage_dir=os.path.join(work, "lineage"),
-        max_files_per_trigger=4,
+        max_files_per_trigger=8,  # 16 segments -> 2 micro-batches
         per_bucket_lineage=True,
+        lineage_flush_rows=10_000,  # flush once at end of the bounded run
     )
     t0 = time.time()
     pipe.run_available_now()

@@ -282,6 +282,14 @@ class LakeTable:
         The caller collapses first (operators.collapse.lww_collapse); this
         method enforces the cross-batch LWW guard `s.lsn > t._lsn`.
         """
+        import os as _os, time as _time
+        _dbg = _os.environ.get("DCS_MERGE_DEBUG") == "1"
+        _t = _time.time()
+        def _mark(label):
+            nonlocal _t
+            if _dbg:
+                print(f"[merge-debug] {label}: {_time.time()-_t:.2f}s", flush=True)
+            _t = _time.time()
         if commit_key is not None and self.committed(commit_key):
             return MergeResult(
                 version=self.version, commit_key=commit_key, noop=True
@@ -333,6 +341,7 @@ class LakeTable:
             )
             .collect()
         )
+        _mark("stats_job")
         touched = [int(r[_BUCKET_COL]) for r in stats_rows]
         bucket_stats = [
             {
@@ -379,7 +388,9 @@ class LakeTable:
                 "lsn",
                 *[F.col(c).alias(f"s_{c}") for c in non_key_cols],
             )
-            cond = [F.col(f"s_{k}").eqNullSafe(F.col(k)) for k in keys]
+            # plain equality: key columns are non-null by contract (primary
+            # key); eqNullSafe costs ~30% extra join time for nothing here
+            cond = [F.col(f"s_{k}") == F.col(k) for k in keys]
             joined = target.join(s_pref, on=cond, how="full_outer")
 
             src_matched = F.col("lsn").isNotNull()
@@ -450,7 +461,9 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        _mark("write_job")
         m = obs.get
+        _mark("obs_get")
         s.unpersist()
 
         # collect the new files per bucket from the written directory
@@ -494,6 +507,7 @@ class LakeTable:
         manifest["lineage"] = list(self._manifest["lineage"]) + [res.as_dict()]
         self._write_manifest(self.path, manifest)
         self._manifest = manifest
+        _mark("manifest")
         return res
 
     # ------------------------------------------------------------- maintain

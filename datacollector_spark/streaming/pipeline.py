@@ -71,6 +71,7 @@ class CdcIngestPipeline:
         max_files_per_trigger: int | None = None,
         salt_buckets: int | None = None,
         per_bucket_lineage: bool = True,
+        lineage_flush_rows: int = 1,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -82,6 +83,11 @@ class CdcIngestPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_buckets = salt_buckets
         self.per_bucket_lineage = per_bucket_lineage
+        # lineage rows buffer: flushed when the buffer reaches this many rows
+        # and at end-of-run (bounded loss on crash: lineage is observability,
+        # table correctness never depends on it)
+        self.lineage_flush_rows = lineage_flush_rows
+        self._lineage_buffer: list[dict] = []
         self.batches_applied = 0
         self.on_batch_applied = None  # test hook (fault injection)
         # Commit keys are namespaced by the checkpoint identity: stable
@@ -100,14 +106,23 @@ class CdcIngestPipeline:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         return reader.parquet(self.source_dir)
 
-    def _write_lineage(self, rows: list[dict]) -> None:
-        if not self.lineage_dir or not rows:
+    def _write_lineage(self, rows: list[dict], flush: bool = False) -> None:
+        if not self.lineage_dir:
+            return
+        self._lineage_buffer.extend(rows)
+        if not flush and len(self._lineage_buffer) < self.lineage_flush_rows:
+            return
+        if not self._lineage_buffer:
             return
         df = self.spark.createDataFrame(
-            [tuple(r.get(f.name) for f in LINEAGE_SCHEMA.fields) for r in rows],
+            [
+                tuple(r.get(f.name) for f in LINEAGE_SCHEMA.fields)
+                for r in self._lineage_buffer
+            ],
             LINEAGE_SCHEMA,
         )
         df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        self._lineage_buffer = []
 
     # ----------------------------------------------------------- the batch
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -201,6 +216,7 @@ class CdcIngestPipeline:
             .start()
         )
         q.awaitTermination(timeout_s) if timeout_s else q.awaitTermination()
+        self._write_lineage([], flush=True)
 
     def run_continuous(self, processing_time: str = "5 seconds"):
         """Tail indefinitely (the production mode). Returns the query."""
