@@ -1,0 +1,163 @@
+"""Pipeline spec: a declarative JSON-able pipeline config -> DataFrame DAG.
+
+The reference's "query" is a pipeline-config JSON that goes through
+validation (validation/PipelineConfigurationValidator.java:69 — DAG
+well-formedness, lane consistency, config constraints), bean creation
+(creation/PipelineBeanCreator.java:59), and physical wiring into a pipe
+graph (runner/Pipeline.java:366-). This module is the same lifecycle on
+Spark: spec dict -> validate() -> build(spark) returns the terminal
+DataFrames per output lane; Catalyst is the physical planner.
+
+Spec shape::
+
+    {
+      "pipeline": "my-pipe",
+      "stages": [
+        {"name": "src",  "type": "parquet_origin", "path": ..., "out": "main"},
+        {"name": "sel",  "type": "stream_selector", "in": "main",
+         "conditions": [["errors", "event_type = 'error'"]],
+         "default_lane": "ok"},
+        {"name": "mask", "type": "field_masker", "in": "ok",
+         "columns": ["text"], "mask_type": "VARIABLE_LENGTH", "out": "masked"},
+        {"name": "sink", "type": "memory_target", "in": "masked"}
+      ]
+    }
+
+Each stage consumes a named lane (``in``) and produces one (``out``) or many
+(selector lanes). Unconnected lanes, duplicate producers, unknown stage
+types, and missing configs are validation errors, mirroring the reference's
+validation issue codes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datacollector_spark.operators import processors as P
+
+
+class ValidationError(ValueError):
+    pass
+
+
+# stage type -> (builder, required config keys)
+def _origin(spark, cfg, _lanes):
+    reader = spark.read
+    if "schema" in cfg:
+        reader = reader.schema(cfg["schema"])
+    fmt = cfg.get("format", "parquet")
+    return reader.format(fmt).load(cfg["path"])
+
+
+_PROCESSORS: dict[str, tuple[Any, list[str]]] = {
+    "field_masker": (P.field_masker, ["columns"]),
+    "field_hasher": (P.field_hasher, ["columns", "target"]),
+    "field_remover": (P.field_remover, ["columns"]),
+    "field_renamer": (P.field_renamer, ["renames"]),
+    "field_splitter": (P.field_splitter, ["column", "separator", "to"]),
+    "field_type_converter": (P.field_type_converter, ["conversions"]),
+    "value_replacer": (P.value_replacer, []),
+    "expression_evaluator": (P.expression_evaluator, ["expressions"]),
+    "json_parser": (P.json_parser, ["column", "schema", "into"]),
+    "log_parser": (P.log_parser, ["column", "pattern", "groups"]),
+    "base64_codec": (P.base64_codec, ["column", "into"]),
+    "static_lookup": (P.static_lookup, ["mapping", "key_column", "value_column"]),
+    "list_pivot": (P.list_pivot, ["column"]),
+    "field_zip": (P.field_zip, ["into", "left", "right"]),
+    "field_merger": (P.field_merger, ["into", "columns"]),
+    "field_flattener": (P.field_flattener, ["column"]),
+}
+
+
+class PipelineSpec:
+    def __init__(self, spec: dict):
+        self.spec = spec
+        self.validate()
+
+    # ------------------------------------------------------------ validate
+    def validate(self) -> None:
+        """DAG well-formedness + config constraints (the reference's
+        PipelineConfigurationValidator pass)."""
+        stages = self.spec.get("stages")
+        if not stages:
+            raise ValidationError("VALIDATION_0001: pipeline has no stages")
+        producers: dict[str, str] = {}
+        names = set()
+        for st in stages:
+            name = st.get("name")
+            if not name or name in names:
+                raise ValidationError(f"VALIDATION_0002: missing/duplicate stage name {name!r}")
+            names.add(name)
+            typ = st.get("type")
+            # lanes are wired topologically: a consumed lane must already
+            # have a producer earlier in the stage list
+            lane = st.get("in")
+            if lane and lane not in producers:
+                raise ValidationError(
+                    f"VALIDATION_0005: stage {name!r} consumes unproduced lane {lane!r}"
+                )
+            if typ == "parquet_origin":
+                if "path" not in st:
+                    raise ValidationError(f"VALIDATION_0003: {name}: origin needs 'path'")
+                out = st.get("out", "main")
+                if out in producers:
+                    raise ValidationError(f"VALIDATION_0004: lane {out!r} produced twice")
+                producers[out] = name
+            elif typ == "stream_selector":
+                if "conditions" not in st:
+                    raise ValidationError(f"VALIDATION_0003: {name}: selector needs 'conditions'")
+                for lane, _ in st["conditions"]:
+                    if lane in producers:
+                        raise ValidationError(f"VALIDATION_0004: lane {lane!r} produced twice")
+                    producers[lane] = name
+                producers[st.get("default_lane", "default")] = name
+            elif typ == "precondition_filter":
+                producers[st.get("out", "ok")] = name
+                producers[st.get("error_lane", "errors")] = name
+            elif typ in _PROCESSORS:
+                _, req = _PROCESSORS[typ]
+                for key in req:
+                    if key not in st:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: {typ} needs {key!r}"
+                        )
+                producers[st.get("out", st.get("in", "main"))] = name
+            elif typ == "memory_target":
+                pass
+            else:
+                raise ValidationError(f"VALIDATION_0006: unknown stage type {typ!r}")
+
+    # --------------------------------------------------------------- build
+    def build(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Wire the stages; returns {lane: DataFrame} for every lane."""
+        lanes: dict[str, DataFrame] = {}
+        targets: dict[str, DataFrame] = {}
+        for st in self.spec["stages"]:
+            typ = st["type"]
+            cfg = {k: v for k, v in st.items() if k not in ("name", "type", "in", "out")}
+            if typ == "parquet_origin":
+                lanes[st.get("out", "main")] = _origin(spark, cfg, lanes)
+            elif typ == "stream_selector":
+                routed = P.stream_selector(
+                    lanes[st["in"]],
+                    [tuple(c) for c in st["conditions"]],
+                    st.get("default_lane", "default"),
+                )
+                lanes.update(routed)
+            elif typ == "precondition_filter":
+                ok, err = P.precondition_filter(
+                    lanes[st["in"]],
+                    st.get("condition", ""),
+                    st.get("required_fields", ()),
+                )
+                lanes[st.get("out", "ok")] = ok
+                lanes[st.get("error_lane", "errors")] = err
+            elif typ in _PROCESSORS:
+                fn, _ = _PROCESSORS[typ]
+                lanes[st.get("out", st["in"])] = fn(lanes[st["in"]], **cfg)
+            elif typ == "memory_target":
+                targets[st["name"]] = lanes[st["in"]]
+        lanes.update(targets)
+        return lanes

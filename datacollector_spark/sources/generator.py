@@ -77,6 +77,10 @@ class ChangelogSpec:
     delete_fraction: float = 0.01
     tx_size: int = 50  # events per pseudo-transaction (drives seq_in_tx)
     n_servers: int = 4
+    # pad text to at least this many chars (0 = tiny version-stamped text).
+    # Real transcript turns run 100s-1000s of bytes; benches use ~512 so
+    # compute density is representative, tests keep 0 for speed.
+    min_text_chars: int = 0
 
 
 def generate_changelog(spark: SparkSession, spec: ChangelogSpec) -> DataFrame:
@@ -128,6 +132,12 @@ def generate_changelog(spark: SparkSession, spec: ChangelogSpec) -> DataFrame:
     text = F.concat_ws(
         "-", F.lit("text"), conv_id, turn_idx.cast("string"), F.lit("v"), lsn.cast("string")
     )
+    if spec.min_text_chars > 0:
+        filler = (
+            " the assistant considered the request and produced a detailed"
+            " answer citing the relevant context and tools"
+        )
+        text = F.rpad(text, spec.min_text_chars, filler)
     ts = F.timestamp_seconds(F.unix_timestamp(F.lit(_EPOCH)) + i)
 
     df = base.select(

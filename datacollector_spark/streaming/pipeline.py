@@ -55,6 +55,21 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class DataRule:
+    """A data rule: SQL condition sampled over every micro-batch; fires an
+    alert when at least ``min_count`` rows match
+    (container/.../config/DataRuleDefinition.java:28-66)."""
+
+    name: str
+    condition: str  # SQL boolean expression over the changelog columns
+    min_count: int = 1
+    level: str = "warn"
+
+
 class CdcIngestPipeline:
     """Tail a changelog directory of parquet 'binlog segments' and apply it
     to a LakeTable exactly once."""
@@ -72,6 +87,9 @@ class CdcIngestPipeline:
         salt_buckets: int | None = None,
         per_bucket_lineage: bool = True,
         lineage_flush_rows: int = 1,
+        late_limit_s: float | None = None,
+        late_dir: str | None = None,
+        data_rules: list["DataRule"] | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -90,6 +108,17 @@ class CdcIngestPipeline:
         self._lineage_buffer: list[dict] = []
         self.batches_applied = 0
         self.on_batch_applied = None  # test hook (fault injection)
+        # Late-record policy (HDFS target timeDriver + lateRecordsLimit,
+        # hdfs-protolib/.../HdfsTargetConfigBean.java:213,339-395): events
+        # whose commit_ts lags the batch high-water mark by more than the
+        # limit are split to a side output instead of merged.
+        self.late_limit_s = late_limit_s
+        self.late_dir = late_dir
+        # Data rules (container/.../config/DataRuleDefinition.java:28-66 +
+        # DataObserverRunner): SQL condition + threshold, evaluated per
+        # micro-batch; firings append alert rows to <lineage_dir>/../alerts.
+        self.data_rules = data_rules or []
+        self.alerts: list[dict] = []
         # Commit keys are namespaced by the checkpoint identity: stable
         # across RESTARTS of the same stream (exactly-once replay dedupe),
         # distinct across DIFFERENT streams into the same table.
@@ -147,6 +176,36 @@ class CdcIngestPipeline:
             return
 
         df = batch_df
+
+        # ---- observer: data rules + event-time high-water mark, one
+        # CollectMetrics node evaluated inside the collapse job (no extra
+        # pass; only attached when a feature needs it)
+        obs = None
+        if self.data_rules or self.late_limit_s is not None:
+            from pyspark.sql import Observation
+
+            metrics = [F.max("commit_ts").alias("_max_ts")]
+            for i, rule in enumerate(self.data_rules):
+                metrics.append(
+                    F.sum(
+                        F.when(F.expr(rule.condition), 1).otherwise(0)
+                    ).alias(f"_rule_{i}")
+                )
+            obs = Observation(f"rules-{batch_id}")
+            df = df.observe(obs, *metrics)
+
+        # ---- late-record policy: Structured-Streaming watermark semantics
+        # (threshold = max event time seen in PRIOR batches minus limit);
+        # late rows go to the side output, on-time rows continue
+        watermark = getattr(self, "_watermark", None)
+        if self.late_limit_s is not None and watermark is not None:
+            late = df.where(F.col("commit_ts") < F.lit(watermark))
+            if self.late_dir:
+                late.write.mode("append").parquet(self.late_dir)
+            df = df.where(
+                F.col("commit_ts").isNull() | (F.col("commit_ts") >= F.lit(watermark))
+            )
+
         payload_cols = [
             c for c in payload_columns_of(df.schema) if c in df.columns
         ]
@@ -169,6 +228,28 @@ class CdcIngestPipeline:
         # per-bucket source stats from its bucket-discovery job — the
         # per-partition lineage (offsets applied per bucket) costs no extra job
         res = self.table.merge(collapsed, commit_key=commit_key)
+
+        if obs is not None:
+            m = obs.get
+            max_ts = m.get("_max_ts")
+            if self.late_limit_s is not None and max_ts is not None:
+                import datetime as _dt
+
+                cand = max_ts - _dt.timedelta(seconds=self.late_limit_s)
+                prev = getattr(self, "_watermark", None)
+                self._watermark = max(prev, cand) if prev else cand
+            for i, rule in enumerate(self.data_rules):
+                n = int(m.get(f"_rule_{i}") or 0)
+                if n >= rule.min_count:
+                    self.alerts.append(
+                        {
+                            "batch_id": batch_id,
+                            "rule": rule.name,
+                            "level": rule.level,
+                            "count": n,
+                        }
+                    )
+
         per_bucket: list[dict] = []
         if self.per_bucket_lineage:
             per_bucket = [
