@@ -327,6 +327,43 @@ def q_proc_scripting_pandas(spark, sf_dir):
     )
 
 
+def q_proc_log_parser(spark, sf_dir):
+    """Synthesize an access-log line from events, parse it back with the LOG
+    format (regex groups) — logparser/LogParserProcessor.java."""
+    from datacollector_spark.sources.formats import parse_log
+
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("host-"),
+            F.col("user_id").cast("string"),
+            F.lit(' "GET /'),
+            F.col("event_type"),
+            F.lit('" '),
+            (F.pmod("event_id", F.lit(5)) * 100 + 200).cast("string"),
+        ).alias("raw"),
+    )
+    pattern = r'^(\S+) "(\S+) (\S+)" (\d{3})$'
+    out = parse_log(df, "raw", pattern, {"host": 1, "method": 2, "path": 3, "status": 4})
+    return out.select("event_id", "host", "method", "path", "status")
+
+
+def q_format_csv_roundtrip(spark, sf_dir):
+    """DELIMITED generate -> parse roundtrip (DataFormat.java DELIMITED)."""
+    from datacollector_spark.sources.formats import generate_delimited, parse_delimited
+
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        generate_delimited(F.struct(F.col("event_type"), F.col("user_id"))).alias("line"),
+    )
+    parsed = df.select(
+        "event_id",
+        "line",
+        parse_delimited(F.col("line"), "et STRING, uid BIGINT").alias("r"),
+    )
+    return parsed.select("event_id", "line", F.col("r.et").alias("et"), F.col("r.uid").alias("uid"))
+
+
 def q_proc_record_dedup(spark, sf_dir):
     from datacollector_spark.operators.dedup import exact_dedup
 
@@ -576,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proc_json_parser": q_proc_json_parser,
         "proc_base64": q_proc_base64,
         "proc_scripting_pandas": q_proc_scripting_pandas,
+        "proc_log_parser": q_proc_log_parser,
+        "format_csv_roundtrip": q_format_csv_roundtrip,
         "proc_record_dedup": q_proc_record_dedup,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "lookup_static_kv": q_lookup_static_kv,
@@ -709,6 +748,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "proc_scripting_pandas": """
             SELECT doc_id, CAST(length(text) AS INT) AS text_len FROM documents
+        """,
+        "proc_log_parser": """
+            WITH raw AS (
+              SELECT event_id,
+                     'host-' || CAST(user_id AS VARCHAR) || ' "GET /' ||
+                     event_type || '" ' ||
+                     CAST((event_id % 5) * 100 + 200 AS VARCHAR) AS raw
+              FROM events)
+            SELECT event_id,
+                   regexp_extract(raw, '^(\\S+) "(\\S+) (\\S+)" (\\d{3})$', 1) AS host,
+                   regexp_extract(raw, '^(\\S+) "(\\S+) (\\S+)" (\\d{3})$', 2) AS method,
+                   regexp_extract(raw, '^(\\S+) "(\\S+) (\\S+)" (\\d{3})$', 3) AS path,
+                   regexp_extract(raw, '^(\\S+) "(\\S+) (\\S+)" (\\d{3})$', 4) AS status
+            FROM raw
+        """,
+        "format_csv_roundtrip": """
+            SELECT event_id,
+                   event_type || ',' || CAST(user_id AS VARCHAR) AS line,
+                   event_type AS et, user_id AS uid
+            FROM events
         """,
         "proc_record_dedup": """
             SELECT min(event_id) AS event_id, user_id, event_type,

@@ -1,0 +1,104 @@
+"""Data-format parsers/generators + spool-dir origin semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacollector_spark.sources import formats as FM
+
+
+def test_json_roundtrip(spark):
+    df = spark.createDataFrame([('{"a": 1, "b": "x"}',)], "js string")
+    parsed = df.select(FM.parse_json(F.col("js"), "a INT, b STRING").alias("r"))
+    row = parsed.select("r.a", "r.b").first()
+    assert row["a"] == 1 and row["b"] == "x"
+    back = parsed.select(FM.generate_json(F.col("r")).alias("js")).first()["js"]
+    assert '"a":1' in back
+
+
+def test_delimited_parse_and_generate(spark):
+    df = spark.createDataFrame([("x,1",)], "line string")
+    parsed = df.select(FM.parse_delimited(F.col("line"), "name STRING, v INT").alias("r"))
+    assert parsed.select("r.v").first()[0] == 1
+    gen = parsed.select(FM.generate_delimited(F.col("r")).alias("line")).first()["line"]
+    assert gen == "x,1"
+
+
+def test_xml_parse(spark):
+    df = spark.createDataFrame([("<rec><a>7</a><b>hi</b></rec>",)], "xml string")
+    parsed = df.select(FM.parse_xml(F.col("xml"), "a INT, b STRING").alias("r"))
+    row = parsed.select("r.a", "r.b").first()
+    assert row["a"] == 7 and row["b"] == "hi"
+
+
+def test_apache_log_parse(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x.gif HTTP/1.0" 200 2326'
+    df = spark.createDataFrame([(line,)], "raw string")
+    out = FM.parse_log(df, "raw", FM.APACHE_COMMON_LOG, FM.APACHE_COMMON_GROUPS).first()
+    assert out["client_ip"] == "127.0.0.1"
+    assert out["method"] == "GET" and out["status"] == "200"
+
+
+def test_syslog_parse(spark):
+    line = "<34>Oct 11 22:14:15 myhost su[230]: 'su root' failed"
+    df = spark.createDataFrame([(line,)], "raw string")
+    out = FM.parse_log(df, "raw", FM.SYSLOG_PATTERN, FM.SYSLOG_GROUPS).first()
+    assert out["host"] == "myhost" and out["app"] == "su" and out["pid"] == "230"
+
+
+def test_avro_gated(spark):
+    # the sandbox ships no spark-avro jar: the capability check must say so
+    assert FM.avro_available(spark) is False
+
+
+def test_spooldir_stream_ordered_delivery(spark, tmp_path):
+    """Files written later are delivered in later micro-batches with
+    maxFilesPerTrigger=1 — the reference's ordered spool semantics."""
+    from datacollector_spark.sources.spooldir import spool_dir_batch, spool_dir_stream
+
+    src = str(tmp_path / "spool")
+    for i in range(3):
+        spark.createDataFrame([(i,)], "v int").coalesce(1).write.mode("append").parquet(src)
+
+    seen: list[list[int]] = []
+
+    def sink(df, _bid):
+        seen.append([r["v"] for r in df.select("v").collect()])
+
+    q = (
+        spool_dir_stream(
+            spark,
+            src,
+            spark.createDataFrame([(0,)], "v int").schema,
+            max_files_per_trigger=1,
+            with_file_info=True,
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 3 and sorted(sum(seen, [])) == [0, 1, 2]
+    assert spool_dir_batch(spark, src).count() == 3
+
+
+def test_jdbc_reader_option_wiring(spark):
+    """No DB/driver in the sandbox: JDBC load() resolves the schema eagerly,
+    so the observable contract here is that the configured driver class is
+    what Spark tries to load — proving the options reach the JDBC source."""
+    from datacollector_spark.sources.jdbc import jdbc_partitioned_table
+
+    with pytest.raises(Exception) as ei:
+        jdbc_partitioned_table(
+            spark,
+            "jdbc:postgresql://nowhere/db",
+            "events",
+            "event_id",
+            0,
+            1000,
+            8,
+            properties={"driver": "org.postgresql.NoSuchDriver"},
+        )
+    assert "NoSuchDriver" in str(ei.value)
