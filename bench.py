@@ -91,25 +91,41 @@ def _run_leg(spark, segments_dir: str, cores: int) -> dict:
         per_bucket_lineage=True,
         lineage_flush_rows=1_000_000,
     )
-    # warmup OUTSIDE the timed window: spawn python workers (pandas UDF),
-    # trigger codegen + shuffle infra on a tiny job shaped like the pipeline
-    from pyspark.sql import functions as F
-
-    from datacollector_spark.operators.transforms import mask_pii
-
-    (
-        spark.range(10_000)
-        .select(
-            F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
-            (F.col("id") % 7).alias("k"),
-        )
-        .withColumn("text", mask_pii(F.col("text")))
-        .groupBy("k")
-        .count()
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
+    # Warmup OUTSIDE the timed window: a miniature end-to-end run through
+    # the identical code path (scan -> collapse -> mask -> merge -> write)
+    # compiles every codegen plan shape, forks the python worker pool, and
+    # initializes shuffle/parquet infra. Steady-state throughput is what we
+    # time; JVM warmup is a constant that vanishes on any long-running
+    # stream and would otherwise drown the scaling signal.
+    from datacollector_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+        write_segments,
     )
+
+    warm_seg = os.path.join(work, "warm_seg")
+    write_segments(
+        generate_changelog(
+            spark, ChangelogSpec(n_events=60_000, n_conversations=500, min_text_chars=64)
+        ),
+        warm_seg,
+        2,
+    )
+    warm_table = LakeTable.create(
+        spark,
+        os.path.join(work, "warm_table"),
+        transcripts_schema(),
+        KEY_COLUMNS,
+        num_buckets=8,
+    )
+    CdcIngestPipeline(
+        spark,
+        warm_seg,
+        warm_table,
+        os.path.join(work, "warm_ckpt"),
+        transforms=transcript_transforms,
+        max_files_per_trigger=1,
+    ).run_available_now(timeout_s=600)
 
     t0 = time.time()
     pipe.run_available_now()
