@@ -1,0 +1,134 @@
+"""Changelog-format decoders: vendor CDC envelopes -> the engine's envelope.
+
+The reference's JDBC producer can decode four change-log formats into
+op + row data (jdbc-lib/.../lib/jdbc/ChangeLogFormat.java:25-29, readers
+JdbcMySqlBinLogRecordReader / JdbcOracleCDCRecordReader /
+JdbcMicrosoftRecordReader / JdbcMongoDBOplogRecordReader). Here each decoder
+is a columnar `from_json` projection from the vendor JSON into the FIXTURES
+F2 envelope columns (op, lsn, seq_in_tx, payload...).
+
+Op-code mappings mirror the readers:
+  * MySQL binlog: Type INSERT/UPDATE/DELETE; Data = after-image, OldData =
+    before-image (RecordConverter.java:44-56)
+  * Oracle CDC: operation code already numeric (OperationType.java)
+  * Mongo oplog: op i/u/d (JdbcMongoDBOplogRecordReader)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacollector_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
+
+_MYSQL_SCHEMA = (
+    "Type STRING, Database STRING, Table STRING, ServerId BIGINT, "
+    "Timestamp BIGINT, BinLogFilename STRING, BinLogPosition BIGINT, "
+    "GTID STRING, SeqNo INT, Data MAP<STRING,STRING>, OldData MAP<STRING,STRING>"
+)
+
+_ORACLE_SCHEMA = (
+    "OPERATION INT, SCN BIGINT, SEQ INT, TABLE_NAME STRING, "
+    "TIMESTAMP BIGINT, DATA MAP<STRING,STRING>, BEFORE MAP<STRING,STRING>"
+)
+
+_MONGO_SCHEMA = (
+    "op STRING, ts BIGINT, h BIGINT, ns STRING, o MAP<STRING,STRING>, "
+    "o2 MAP<STRING,STRING>"
+)
+
+_TYPE_TO_OP = {
+    "INSERT": OP_INSERT,
+    "UPDATE": OP_UPDATE,
+    "DELETE": OP_DELETE,
+}
+
+
+def _op_from_type(col):
+    return (
+        F.when(col == "INSERT", OP_INSERT)
+        .when(col == "UPDATE", OP_UPDATE)
+        .when(col == "DELETE", OP_DELETE)
+        .otherwise(5)
+        .cast("int")
+    )
+
+
+def decode_mysql_binlog(df: DataFrame, json_col: str, lsn_bits: int = 40) -> DataFrame:
+    """MySQL binlog JSON -> envelope. LSN = (file index << bits) | position
+    — the monotone encoding of the reference's file:pos offsets
+    (BinLogPositionSourceOffset.java:34); file index = trailing digits of
+    the binlog filename (mysql-bin.000007 -> 7)."""
+    r = F.from_json(F.col(json_col), _MYSQL_SCHEMA)
+    file_idx = F.regexp_extract(r["BinLogFilename"], r"(\d+)$", 1).cast("long")
+    return df.select(
+        _op_from_type(r["Type"]).alias("op"),
+        (F.shiftleft(file_idx, lsn_bits) + r["BinLogPosition"]).alias("lsn"),
+        F.coalesce(r["SeqNo"], F.lit(0)).cast("int").alias("seq_in_tx"),
+        r["Table"].alias("src_table"),
+        r["ServerId"].alias("server_id"),
+        F.timestamp_millis(r["Timestamp"]).alias("commit_ts"),
+        r["Data"].alias("data"),
+        r["OldData"].alias("old_data"),
+    )
+
+
+def decode_oracle_cdc(df: DataFrame, json_col: str) -> DataFrame:
+    """Oracle CDC (LogMiner) JSON -> envelope. LSN = (SCN << 16) | SEQ —
+    the reference's SCN::seq offset (OracleCDCSource.java:158)."""
+    r = F.from_json(F.col(json_col), _ORACLE_SCHEMA)
+    return df.select(
+        r["OPERATION"].cast("int").alias("op"),
+        (F.shiftleft(r["SCN"], 16) + r["SEQ"]).alias("lsn"),
+        r["SEQ"].cast("int").alias("seq_in_tx"),
+        r["TABLE_NAME"].alias("src_table"),
+        F.lit(None).cast("long").alias("server_id"),
+        F.timestamp_millis(r["TIMESTAMP"]).alias("commit_ts"),
+        r["DATA"].alias("data"),
+        r["BEFORE"].alias("old_data"),
+    )
+
+
+def decode_mongo_oplog(df: DataFrame, json_col: str) -> DataFrame:
+    """Mongo oplog JSON -> envelope. op i/u/d; ts is a packed BSON Timestamp
+    (seconds<<32 | ordinal) which is already a monotone LSN."""
+    r = F.from_json(F.col(json_col), _MONGO_SCHEMA)
+    op = (
+        F.when(r["op"] == "i", OP_INSERT)
+        .when(r["op"] == "u", OP_UPDATE)
+        .when(r["op"] == "d", OP_DELETE)
+        .otherwise(5)
+        .cast("int")
+    )
+    return df.select(
+        op.alias("op"),
+        r["ts"].alias("lsn"),
+        F.lit(0).alias("seq_in_tx"),
+        r["ns"].alias("src_table"),
+        F.coalesce(r["h"], F.lit(0)).alias("server_id"),
+        F.timestamp_seconds(F.shiftrightunsigned(r["ts"], 32)).alias("commit_ts"),
+        # update: o = modification, o2 = row key; delete: o = key
+        F.when(op == OP_UPDATE, r["o"]).otherwise(r["o"]).alias("data"),
+        r["o2"].alias("old_data"),
+    )
+
+
+def project_transcript_payload(df: DataFrame) -> DataFrame:
+    """Lift the generic map payload into the typed transcripts columns —
+    the typed-columns step the engine does because input_hint pins the
+    payload table (SURVEY.md §1.3)."""
+    d = F.col("data")
+    return df.select(
+        "op",
+        "lsn",
+        "seq_in_tx",
+        "src_table",
+        "server_id",
+        "commit_ts",
+        d["conv_id"].alias("conv_id"),
+        d["turn_idx"].cast("int").alias("turn_idx"),
+        d["role"].alias("role"),
+        d["text"].alias("text"),
+        d["tool"].alias("tool"),
+        F.to_timestamp(d["ts"]).alias("ts"),
+    )
