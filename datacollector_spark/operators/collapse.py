@@ -7,25 +7,41 @@ The distributed generalization of two reference behaviors:
     (mysql-binlog-lib/.../BinaryLogConsumer.java:148-155) — at-least-once
     delivery collapsed to effectively-once per key.
 
-Expressed as a hash aggregation so Spark's partial/final split gives
-map-side combine for free: duplicates and multiple updates to the same
-(conv_id, turn_idx) collapse BEFORE the shuffle, which is what keeps the
-shuffle volume proportional to distinct keys — not events — at 10^10 scale.
+Two physical strategies, same semantics (winner = max (lsn, seq_in_tx) per
+key; exact duplicates collapse to one row):
 
-Skew: for hot keys (a conversation with a very long tail of updates to the
-same turn), partial aggregation already absorbs most of the skew. The salted
-two-phase variant adds an explicit pre-shuffle spreading for adversarial
-cases where one (conv_id, turn_idx) receives a large share of all events in
-a micro-batch (north rule: 'salted repartitioning to break hot-conversation
-skew').
+* ``joinback`` (default): a fixed-width HashAggregate computes the winning
+  packed order per key (map-side combined, whole-stage codegen — measured
+  ~2.5x faster than the sort-based plan at 4M x 512B rows), then a join
+  filters the batch to winner rows. Catalyst broadcasts the winners side
+  when it is small (the common micro-batch case: shuffle volume = winners
+  only) and degrades to a shuffled join for huge batches.
+
+* ``max_by``: single-pass groupBy(keys).agg(max_by(payload, order)).
+  Spark executes non-fixed-width aggregation buffers as SortAggregate
+  (partial+final, still map-side combined — shuffle volume = distinct keys,
+  at the price of a map-side sort). Used automatically for the salted
+  two-phase variant (north rule: salted repartitioning for adversarially
+  hot keys).
+
+Order packing: packed = lsn * 2^16 + seq_in_tx. Contract: lsn < 2^47 and
+0 <= seq_in_tx < 2^16 (seq is masked defensively) — the generator and every
+decoder in sources/changelog_formats.py satisfy this.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datacollector_spark.model import KEY_COLUMNS
+
+_SEQ_BITS = 16
+
+
+def _packed_order(lsn_col: str, seq_col: str) -> Column:
+    seq = F.col(seq_col).cast("long").bitwiseAND(F.lit((1 << _SEQ_BITS) - 1))
+    return F.shiftleft(F.col(lsn_col), _SEQ_BITS) + seq
 
 
 def lww_collapse(
@@ -34,16 +50,12 @@ def lww_collapse(
     order_columns: tuple[str, str] = ("lsn", "seq_in_tx"),
     carry_columns: list[str] | None = None,
     salt_buckets: int | None = None,
+    strategy: str = "joinback",
 ) -> DataFrame:
     """Collapse to one row per key: the row with the max (lsn, seq_in_tx).
 
     ``carry_columns`` — columns to carry through (defaults to every non-key
-    column). Exact duplicates (same total-order coordinates) collapse
-    trivially because max_by picks one of the identical rows.
-
-    ``salt_buckets`` — if set, runs a two-phase collapse: first
-    groupBy(key, salt) with a deterministic salt spread over N buckets,
-    then the final groupBy(key). Use for adversarially hot keys.
+    column). ``salt_buckets`` forces the two-phase salted max_by path.
     """
     keys = key_columns or KEY_COLUMNS
     carries = carry_columns or [c for c in df.columns if c not in keys]
@@ -52,21 +64,41 @@ def lww_collapse(
         if oc not in carries:
             carries = carries + [oc]
 
+    if salt_buckets and salt_buckets > 1:
+        strategy = "max_by"
+
+    if strategy == "joinback":
+        packed = _packed_order(lsn_col, seq_col)
+        winners = (
+            df.select(*keys, packed.alias("_pk"))
+            .groupBy(*keys)
+            .agg(F.max("_pk").alias("_win"))
+        )
+        out = (
+            df.withColumn("_pk", packed)
+            .join(winners, on=keys)
+            .where(F.col("_pk") == F.col("_win"))
+            # exact duplicate deliveries share (lsn, seq): identical rows,
+            # keep one
+            .dropDuplicates(keys)
+            .select(*keys, *carries)
+        )
+        return out
+
+    # ---- max_by path (optionally salted two-phase)
     payload = F.struct(*[F.col(c) for c in carries])
     order = F.struct(F.col(lsn_col), F.col(seq_col))
 
     if salt_buckets and salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col(lsn_col), F.col(seq_col)), F.lit(salt_buckets))
-        partial = (
+        df = (
             df.groupBy(*keys, salt.alias("_salt"))
             .agg(F.max_by(payload, order).alias("_p"))
             .select(*keys, "_p.*")
         )
-        df = partial
 
-    collapsed = (
+    return (
         df.groupBy(*keys)
         .agg(F.max_by(payload, F.struct(F.col(lsn_col), F.col(seq_col))).alias("_p"))
         .select(*keys, "_p.*")
     )
-    return collapsed
