@@ -41,6 +41,13 @@ SCALING = os.environ.get("DCS_BENCH_SCALING", "1") == "1"
 LOW_CPUS = int(os.environ.get("DCS_BENCH_LOW_CPUS", str(max(CPUS // 4, 2))))
 N_SEGMENTS = int(os.environ.get("DCS_BENCH_SEGMENTS", "16"))
 BATCHES = 4  # micro-batches per leg; first is warmup
+# Where segments/table/checkpoint live. The sandbox has ONE virtual disk;
+# at tens of GB the CDC path becomes disk-bound there and core scaling
+# measures the disk, not the engine (a real cluster scales I/O with
+# executors). Point at /dev/shm for compute-scaling runs.
+WORKDIR = os.environ.get("DCS_BENCH_WORKDIR") or (
+    "/dev/shm" if os.path.isdir("/dev/shm") else None
+)
 
 HEADLINE_QUERIES = [
     "cdc_lww_final_state",
@@ -71,7 +78,7 @@ def _run_leg(spark, segments_dir: str, cores: int) -> dict:
     from datacollector_spark.operators.transforms import transcript_transforms
     from datacollector_spark.streaming import CdcIngestPipeline
 
-    work = tempfile.mkdtemp(prefix=f"dcs-leg-{cores}-")
+    work = tempfile.mkdtemp(prefix=f"dcs-leg-{cores}-", dir=WORKDIR)
     table = LakeTable.create(
         spark,
         os.path.join(work, "table"),
@@ -90,6 +97,7 @@ def _run_leg(spark, segments_dir: str, cores: int) -> dict:
         max_files_per_trigger=max(N_SEGMENTS // BATCHES, 1),
         per_bucket_lineage=True,
         lineage_flush_rows=1_000_000,
+        expire_keep=2,  # COW storage hygiene: old snapshots expire per batch
     )
     # Warmup OUTSIDE the timed window: a miniature end-to-end run through
     # the identical code path (scan -> collapse -> mask -> merge -> write)
@@ -183,7 +191,7 @@ def _write_segments(spark, n_events: int) -> tuple[str, int]:
         write_segments,
     )
 
-    seg_dir = tempfile.mkdtemp(prefix="dcs-bench-seg-")
+    seg_dir = tempfile.mkdtemp(prefix="dcs-bench-seg-", dir=WORKDIR)
     spec = ChangelogSpec(
         n_events=n_events,
         n_conversations=max(n_events // 200, 100),

@@ -511,6 +511,44 @@ class LakeTable:
         return res
 
     # ------------------------------------------------------------- maintain
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop manifests older than the last ``keep_last`` versions and
+        delete data files no kept snapshot references — Iceberg's
+        expire_snapshots. Time travel to expired versions stops working
+        (same contract as Iceberg). Returns the number of files deleted.
+
+        COW merges leave every previous version's files on disk; a
+        long-running stream MUST expire periodically or storage grows with
+        versions, not data (CdcIngestPipeline.expire_keep automates this).
+        """
+        current = self.version
+        cutoff = max(current - keep_last + 1, 0)
+        keep_versions = list(range(cutoff, current + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                continue
+            for rels in m["files"].values():
+                referenced.update(rels)
+        deleted = 0
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in referenced and fn.endswith(".parquet"):
+                    os.remove(full)
+                    deleted += 1
+        mdir = os.path.join(self.path, "_manifests")
+        for fn in os.listdir(mdir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                v = int(fn[1:-5])
+                if v < cutoff:
+                    os.remove(os.path.join(mdir, fn))
+        return deleted
+
     def compact(self, max_files_per_bucket: int = 1) -> int:
         """Rewrite buckets whose file count exceeds the threshold — Iceberg's
         rewrite_data_files; the reference analog is the MapReduce

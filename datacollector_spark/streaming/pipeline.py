@@ -90,6 +90,7 @@ class CdcIngestPipeline:
         late_limit_s: float | None = None,
         late_dir: str | None = None,
         data_rules: list["DataRule"] | None = None,
+        expire_keep: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -119,6 +120,9 @@ class CdcIngestPipeline:
         # micro-batch; firings append alert rows to <lineage_dir>/../alerts.
         self.data_rules = data_rules or []
         self.alerts: list[dict] = []
+        # auto-expire old snapshots every batch (COW storage hygiene); keep
+        # enough versions for the exactly-once replay window
+        self.expire_keep = expire_keep
         # Commit keys are namespaced by the checkpoint identity: stable
         # across RESTARTS of the same stream (exactly-once replay dedupe),
         # distinct across DIFFERENT streams into the same table.
@@ -280,6 +284,8 @@ class CdcIngestPipeline:
         for row in per_bucket:
             row["table_version"] = res.version
         self._write_lineage([batch_row] + per_bucket)
+        if self.expire_keep is not None and not res.noop:
+            self.table.expire_snapshots(keep_last=self.expire_keep)
         self.batches_applied += 1
         if self.on_batch_applied is not None:
             self.on_batch_applied(self, batch_id)
