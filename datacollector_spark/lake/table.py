@@ -74,6 +74,7 @@ class MergeResult:
 
     version: int
     commit_key: str | None
+    mode: str = "cow"
     noop: bool = False
     rows_source: int = 0
     rows_inserted: int = 0
@@ -139,7 +140,8 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "key_columns": key_columns,
             "num_buckets": num_buckets,
-            "files": {},  # bucket(str) -> [relative paths]
+            "files": {},  # bucket(str) -> [relative paths] (base files)
+            "deltas": {},  # bucket(str) -> [relative paths] (MOR delta files)
             "committed_keys": [],
             "lineage": [],
         }
@@ -204,9 +206,14 @@ class LakeTable:
         return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(self.num_buckets))
 
     # ----------------------------------------------------------------- read
-    def _files_for(self, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+    def _files_for(
+        self,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        which: str = "files",
+    ) -> list[str]:
         out: list[str] = []
-        for b, rels in manifest["files"].items():
+        for b, rels in manifest.get(which, {}).items():
             if buckets is None or int(b) in buckets:
                 out.extend(os.path.join(self.path, r) for r in rels)
         return out
@@ -222,20 +229,41 @@ class LakeTable:
         Old data files that predate an evolved schema are read through the
         current schema — missing columns surface as NULL, exactly like
         Iceberg's add-column evolution.
+
+        Merge-on-read: when delta files exist (merge(mode='mor')), the
+        snapshot is reconstructed by a read-side LWW collapse over base +
+        delta rows (winner = max _lsn per key), exactly Iceberg-v2/Hudi MOR
+        semantics with an equality-delete generalization.
         """
         manifest = self._manifest if version is None else self._load_manifest(version)
         schema = T.StructType.fromJson(manifest["schema"])
-        files = self._files_for(manifest, buckets)
+        base = self._files_for(manifest, buckets, "files")
+        deltas = self._files_for(manifest, buckets, "deltas")
+        files = base + deltas
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
+        if deltas:
+            keys = manifest["key_columns"]
+            winners = df.groupBy(*keys).agg(F.max(LSN_COLUMN).alias("_w"))
+            df = (
+                df.join(winners, on=keys)
+                .where(F.col(LSN_COLUMN) == F.col("_w"))
+                # replayed deltas tie the base row at equal _lsn with
+                # identical content — keep one
+                .dropDuplicates(keys)
+                .drop("_w")
+            )
         if not include_meta:
             # live rows only: delete tombstones are an implementation detail
             df = df.where(
                 ~F.coalesce(F.col(DELETED_COLUMN), F.lit(False))
             ).drop(LSN_COLUMN, DELETED_COLUMN)
         return df
+
+    def delta_file_count(self, buckets: list[int] | None = None) -> int:
+        return len(self._files_for(self._manifest, buckets, "deltas"))
 
     # ------------------------------------------------------ schema evolution
     def evolve_schema(self, source_schema: T.StructType) -> list[str]:
@@ -275,12 +303,26 @@ class LakeTable:
         source: DataFrame,
         commit_key: str | None = None,
         evolve: bool = True,
+        mode: str = "cow",
     ) -> MergeResult:
         """Apply a COLLAPSED change batch (one row per key, with `op` and
-        `lsn` columns) to the table. Copy-on-write at bucket granularity.
+        `lsn` columns) to the table.
 
-        The caller collapses first (operators.collapse.lww_collapse); this
-        method enforces the cross-batch LWW guard `s.lsn > t._lsn`.
+        mode='cow': copy-on-write at bucket granularity — touched buckets are
+        rewritten (join + rewrite; read stays a plain scan). Any pending MOR
+        deltas in the touched buckets are folded in by the same pass.
+
+        mode='mor': merge-on-read — the batch is APPENDED as bucketed delta
+        files (no join, no rewrite; ingest cost ∝ batch size only). Reads
+        reconstruct via LWW collapse over base+deltas; call
+        :meth:`compact_deltas` (or let the pipeline do it every K batches)
+        to fold deltas into the base. This is the Iceberg-v2 / Hudi MOR
+        shape — the ingest mode for 10^10-event scale, where rewriting the
+        table per micro-batch is the bottleneck.
+
+        The caller collapses first (operators.collapse.lww_collapse); the
+        cross-batch LWW guard (s.lsn > t._lsn) is enforced at the join in
+        COW mode and at read-time winner selection in MOR mode.
         """
         import os as _os, time as _time
         _dbg = _os.environ.get("DCS_MERGE_DEBUG") == "1"
@@ -338,6 +380,7 @@ class LakeTable:
                 F.count(F.lit(1)).alias("rows"),
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
+                F.sum(F.when(F.col("op") == OP_DELETE, 1).otherwise(0)).alias("dels"),
             )
             .collect()
         )
@@ -356,7 +399,66 @@ class LakeTable:
             s.unpersist()
             return MergeResult(version=self.version, commit_key=commit_key, noop=True)
 
-        target_files = self._files_for(self._manifest, touched)
+        n_deletes = sum(int(r["dels"]) for r in stats_rows)
+
+        if mode == "mor":
+            # append the batch as base-shaped delta rows; no target read
+            is_del = F.col("op") == OP_DELETE
+            result = s.select(
+                F.col(_BUCKET_COL),
+                *[F.col(k) for k in keys],
+                *[
+                    F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in non_key_cols
+                ],
+                F.col("lsn").alias(LSN_COLUMN),
+                is_del.alias(DELETED_COLUMN),
+            )
+            new_version = self.version + 1
+            out_dir_rel = os.path.join("data", f"v{new_version}")
+            out_dir = os.path.join(self.path, out_dir_rel)
+            (
+                result.repartition(max(len(touched), 1), F.col(_BUCKET_COL))
+                .write.partitionBy(_BUCKET_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            _mark("write_job")
+            s.unpersist()
+            new_files = self._scan_written(out_dir, out_dir_rel)
+            deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
+            for b, rels in new_files.items():
+                deltas[b] = deltas.get(b, []) + rels
+            res = MergeResult(
+                version=new_version,
+                commit_key=commit_key,
+                mode="mor",
+                rows_source=sum(b_["rows_source"] for b_ in bucket_stats),
+                rows_inserted=sum(b_["rows_source"] for b_ in bucket_stats)
+                - n_deletes,  # upserts: insert/update resolved at read
+                rows_deleted=n_deletes,
+                buckets_touched=len(touched),
+                max_lsn=max(b_["max_lsn"] for b_ in bucket_stats),
+                evolved_columns=evolved,
+                bucket_stats=bucket_stats,
+            )
+            manifest = dict(self._manifest)
+            manifest["version"] = new_version
+            manifest["deltas"] = deltas
+            manifest["committed_keys"] = list(self._manifest["committed_keys"]) + (
+                [commit_key] if commit_key is not None else []
+            )
+            manifest["lineage"] = list(self._manifest["lineage"]) + [res.as_dict()]
+            self._write_manifest(self.path, manifest)
+            self._manifest = manifest
+            _mark("manifest")
+            return res
+
+        target_files = self._files_for(self._manifest, touched) + self._files_for(
+            self._manifest, touched, "deltas"
+        )
+        # read() folds pending MOR deltas into the view, so a COW merge over
+        # delta-carrying buckets doubles as their compaction
         target = self.read(buckets=touched, include_meta=True).withColumn(
             _BUCKET_COL, self.bucket_expr(*keys)
         )
@@ -466,24 +568,12 @@ class LakeTable:
         _mark("obs_get")
         s.unpersist()
 
-        # collect the new files per bucket from the written directory
-        new_files: dict[str, list[str]] = {}
-        for entry in os.listdir(out_dir):
-            if not entry.startswith(f"{_BUCKET_COL}="):
-                continue
-            b = entry.split("=", 1)[1]
-            bdir = os.path.join(out_dir, entry)
-            rels = [
-                os.path.join(out_dir_rel, entry, fn)
-                for fn in os.listdir(bdir)
-                if fn.endswith(".parquet")
-            ]
-            if rels:
-                new_files[b] = rels
-
+        new_files = self._scan_written(out_dir, out_dir_rel)
         files = dict(self._manifest["files"])
+        deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)  # folded into the new base files
 
         res = MergeResult(
             version=new_version,
@@ -501,6 +591,7 @@ class LakeTable:
         manifest = dict(self._manifest)
         manifest["version"] = new_version
         manifest["files"] = files
+        manifest["deltas"] = deltas
         manifest["committed_keys"] = list(self._manifest["committed_keys"]) + (
             [commit_key] if commit_key is not None else []
         )
@@ -509,6 +600,63 @@ class LakeTable:
         self._manifest = manifest
         _mark("manifest")
         return res
+
+    @staticmethod
+    def _scan_written(out_dir: str, out_dir_rel: str) -> dict[str, list[str]]:
+        """Collect {bucket: [relpaths]} from a partitionBy(_bucket) write."""
+        new_files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            rels = [
+                os.path.join(out_dir_rel, entry, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+            if rels:
+                new_files[b] = rels
+        return new_files
+
+    def compact_deltas(self, buckets: list[int] | None = None) -> int:
+        """Fold MOR delta files into base files (Iceberg rewrite of v2
+        deletes / Hudi compaction). Returns the number of buckets compacted.
+        The read-side collapse does the heavy lifting; this just persists
+        its result as the new base."""
+        delta_buckets = [
+            int(b) for b, rels in self._manifest.get("deltas", {}).items() if rels
+        ]
+        if buckets is not None:
+            delta_buckets = [b for b in delta_buckets if b in buckets]
+        if not delta_buckets:
+            return 0
+        keys = self.key_columns
+        collapsed = self.read(buckets=delta_buckets, include_meta=True).withColumn(
+            _BUCKET_COL, self.bucket_expr(*keys)
+        )
+        new_version = self.version + 1
+        out_dir_rel = os.path.join("data", f"v{new_version}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        (
+            collapsed.repartition(max(len(delta_buckets), 1), F.col(_BUCKET_COL))
+            .write.partitionBy(_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_files = self._scan_written(out_dir, out_dir_rel)
+        files = dict(self._manifest["files"])
+        deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
+        for b in delta_buckets:
+            files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)
+        manifest = dict(self._manifest)
+        manifest["version"] = new_version
+        manifest["files"] = files
+        manifest["deltas"] = deltas
+        self._write_manifest(self.path, manifest)
+        self._manifest = manifest
+        return len(delta_buckets)
 
     # ------------------------------------------------------------- maintain
     def expire_snapshots(self, keep_last: int = 2) -> int:
@@ -531,6 +679,8 @@ class LakeTable:
             except FileNotFoundError:
                 continue
             for rels in m["files"].values():
+                referenced.update(rels)
+            for rels in m.get("deltas", {}).values():
                 referenced.update(rels)
         deleted = 0
         data_root = os.path.join(self.path, "data")

@@ -91,6 +91,8 @@ class CdcIngestPipeline:
         late_dir: str | None = None,
         data_rules: list["DataRule"] | None = None,
         expire_keep: int | None = None,
+        merge_mode: str = "cow",
+        mor_compact_every: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -123,6 +125,11 @@ class CdcIngestPipeline:
         # auto-expire old snapshots every batch (COW storage hygiene); keep
         # enough versions for the exactly-once replay window
         self.expire_keep = expire_keep
+        # merge_mode='mor': append-only ingest (merge-on-read deltas), with
+        # automatic delta compaction every `mor_compact_every` batches —
+        # the 10^10-scale ingest shape (see LakeTable.merge docstring)
+        self.merge_mode = merge_mode
+        self.mor_compact_every = mor_compact_every
         # Commit keys are namespaced by the checkpoint identity: stable
         # across RESTARTS of the same stream (exactly-once replay dedupe),
         # distinct across DIFFERENT streams into the same table.
@@ -231,7 +238,13 @@ class CdcIngestPipeline:
         # merge() persists the normalized batch internally and returns the
         # per-bucket source stats from its bucket-discovery job — the
         # per-partition lineage (offsets applied per bucket) costs no extra job
-        res = self.table.merge(collapsed, commit_key=commit_key)
+        res = self.table.merge(collapsed, commit_key=commit_key, mode=self.merge_mode)
+        if (
+            self.merge_mode == "mor"
+            and self.mor_compact_every
+            and (self.batches_applied + 1) % self.mor_compact_every == 0
+        ):
+            self.table.compact_deltas()
 
         if obs is not None:
             m = obs.get
