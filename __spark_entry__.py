@@ -154,6 +154,29 @@ def q_cdc_lake_merge_final_state(spark, sf_dir):
     return table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def q_cdc_mor_final_state(spark, sf_dir):
+    """Merge-on-read path: three MOR delta appends + read-side LWW
+    reconstruction + compaction — final state must equal the same LWW SQL."""
+    from datacollector_spark.lake import LakeTable
+    from datacollector_spark.model import transcripts_schema
+    from datacollector_spark.operators.collapse import lww_collapse
+
+    table = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="dcs-mor-"),
+        transcripts_schema(),
+        ["conv_id", "turn_idx"],
+        num_buckets=16,
+        overwrite=True,
+    )
+    ch = _changelog(spark, sf_dir)
+    for i in range(3):
+        batch = ch.where(F.pmod("lsn", F.lit(3)) == i)
+        table.merge(lww_collapse(batch), commit_key=f"mor-{i}", mode="mor")
+    table.compact_deltas()
+    return table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def q_cdc_op_decode(spark, sf_dir):
     # OperationType.java:29-33 code -> name decode + distribution
     name = (
@@ -406,6 +429,22 @@ def q_lookup_static_kv(spark, sf_dir):
     return df.select("n_nationkey", "n_name", "region_name")
 
 
+def q_lookup_ip_range(spark, sf_dir):
+    """Range-interval enrichment (GeoIP analog): map a synthetic 'ip' to a
+    region by value BETWEEN lo AND hi against a broadcast range table."""
+    from datacollector_spark.operators.processors import range_lookup
+
+    facts = _t(spark, sf_dir, "events").select(
+        "event_id", (F.pmod(F.col("event_id") * 2654435761, F.lit(1000))).alias("ip")
+    )
+    ranges = spark.createDataFrame(
+        [(0, 249, "apac"), (250, 499, "emea"), (500, 749, "amer"), (750, 999, "latam")],
+        "lo long, hi long, geo string",
+    )
+    out = range_lookup(facts, ranges, "ip", "lo", "hi")
+    return out.groupBy("geo").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_agg_metrics_rollup(spark, sf_dir):
     # the Metric Aggregation processor shape (stats-lib, SURVEY.md §2.3)
     return (
@@ -599,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_lake_merge_final_state": q_cdc_lake_merge_final_state,
+        "cdc_mor_final_state": q_cdc_mor_final_state,
         "cdc_op_decode": q_cdc_op_decode,
         "cdc_dedup_rate": q_cdc_dedup_rate,
         "proc_stream_selector": q_proc_stream_selector,
@@ -618,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proc_record_dedup": q_proc_record_dedup,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "lookup_static_kv": q_lookup_static_kv,
+        "lookup_ip_range": q_lookup_ip_range,
         "agg_metrics_rollup": q_agg_metrics_rollup,
         "window_topk_per_key": q_window_topk_per_key,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -669,6 +710,11 @@ def oracle_sql() -> dict[str, str]:
             FROM last_per_key WHERE op != 2
         """,
         "cdc_lake_merge_final_state": f"""
+            WITH {_LWW_CTE}
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM last_per_key WHERE op != 2
+        """,
+        "cdc_mor_final_state": f"""
             WITH {_LWW_CTE}
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM last_per_key WHERE op != 2
@@ -784,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
         "lookup_static_kv": """
             SELECT n_nationkey, n_name, r_name AS region_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "lookup_ip_range": """
+            WITH facts AS (
+              SELECT event_id, (event_id * 2654435761) % 1000 AS ip FROM events),
+            ranges(lo, hi, geo) AS (VALUES
+              (0, 249, 'apac'), (250, 499, 'emea'),
+              (500, 749, 'amer'), (750, 999, 'latam'))
+            SELECT geo, count(*) AS n
+            FROM facts LEFT JOIN ranges ON ip BETWEEN lo AND hi
+            GROUP BY geo
         """,
         "agg_metrics_rollup": """
             SELECT event_type, count(*) AS n,

@@ -300,6 +300,49 @@ def broadcast_lookup(
     return df.join(F.broadcast(dim), on=keys, how=how)
 
 
+def range_lookup(
+    df: DataFrame,
+    ranges: DataFrame,
+    value_column: str,
+    lo_column: str,
+    hi_column: str,
+    how: str = "left",
+) -> DataFrame:
+    """Range-interval lookup (value BETWEEN lo AND hi) — the scalable shape
+    of the Geolocation processor (geolocation/GeolocationProcessor.java:
+    IP -> CIDR-range -> geo attributes).
+
+    The ranges side is broadcast (dimension-sized, like an mmdb file), so
+    the probe is a map-side BroadcastNestedLoop with a range predicate —
+    no shuffle of the fact side. For range tables too big to broadcast,
+    pre-bucket both sides by a shared prefix (e.g. ip >> 16) and equi-join
+    on the bucket before the range filter."""
+    cond = (F.col(value_column) >= ranges[lo_column]) & (
+        F.col(value_column) <= ranges[hi_column]
+    )
+    return df.join(F.broadcast(ranges), cond, how)
+
+
+def fuzzy_field_map(
+    expected: Sequence[str], actual: Sequence[str], cutoff: float = 0.6
+) -> dict[str, str | None]:
+    """Fuzzy-match actual column names onto expected names — the Fuzzy Field
+    processor (fuzzy/FuzzyFieldProcessor.java, lib/fuzzy/FuzzyMatch.java).
+    Schema-mapping utility (driver-side, runs once per schema, not per row).
+    """
+    import difflib
+
+    out: dict[str, str | None] = {}
+    taken: set[str] = set()
+    for exp in expected:
+        cands = [a for a in actual if a not in taken]
+        match = difflib.get_close_matches(exp, cands, n=1, cutoff=cutoff)
+        out[exp] = match[0] if match else None
+        if match:
+            taken.add(match[0])
+    return out
+
+
 # ------------------------------------------------------------ dedup stage
 def record_deduplicator(
     df: DataFrame, columns: Sequence[str] | None = None

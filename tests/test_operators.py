@@ -217,3 +217,21 @@ def test_compaction_reduces_files(spark, tmp_path):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(before, after, check_dtype=False)
+
+
+def test_range_lookup_and_fuzzy_map(spark):
+    from datacollector_spark.operators.processors import fuzzy_field_map, range_lookup
+
+    facts = spark.createDataFrame([(1, 5), (2, 250), (3, 9999)], "id int, v long")
+    ranges = spark.createDataFrame(
+        [(0, 99, "low"), (100, 999, "mid")], "lo long, hi long, label string"
+    )
+    got = range_lookup(facts, ranges, "v", "lo", "hi").orderBy("id").collect()
+    assert [r["label"] for r in got] == ["low", "mid", None]
+
+    m = fuzzy_field_map(
+        ["conv_id", "turn_idx", "text"], ["conversation_id", "turnidx", "txt", "junk"]
+    )
+    assert m["conv_id"] == "conversation_id"
+    assert m["turn_idx"] == "turnidx"
+    assert m["text"] == "txt"
