@@ -167,7 +167,9 @@ def _run_leg(spark, segments_dir: str, cores: int) -> dict:
     }
 
 
-def _run_scaling_leg(spark, segments_dir: str, cores: int, reps: int) -> dict:
+def _run_scaling_leg(
+    spark, segments_dir: str, cores: int, reps: int, merge_mode: str = "cow"
+) -> dict:
     """Scaling leg: apply the FULL changelog as one batch, ``reps`` times
     against a steady-size table (distinct commit keys), report the minimum
     wall. Minimum-of-repetitions is the noise-robust estimator on this
@@ -201,17 +203,26 @@ def _run_scaling_leg(spark, segments_dir: str, cores: int, reps: int) -> dict:
     for i in range(reps):
         c = transcript_transforms(lww_collapse(raw))
         t0 = _time.time()
-        table.merge(c, commit_key=f"rep-{i}")
+        table.merge(c, commit_key=f"rep-{i}", mode=merge_mode)
         walls.append(round(_time.time() - t0, 2))
+        if merge_mode == "mor":
+            table.compact_deltas()
         table.expire_snapshots(keep_last=1)
     shutil.rmtree(work, ignore_errors=True)
-    return {"cores": cores, "walls": walls, "min_wall_s": min(walls)}
+    return {
+        "cores": cores,
+        "mode": merge_mode,
+        "walls": walls,
+        "min_wall_s": min(walls),
+    }
 
 
 def _leg_main(cores: int, segments_dir: str, mode: str = "stream") -> None:
     spark = _session(cores)
     if mode == "scale":
         out = _run_scaling_leg(spark, segments_dir, cores, SCALE_REPS)
+    elif mode == "scale-mor":
+        out = _run_scaling_leg(spark, segments_dir, cores, SCALE_REPS, merge_mode="mor")
     else:
         out = _run_leg(spark, segments_dir, cores)
     spark.stop()
@@ -312,6 +323,15 @@ def main() -> None:
             "thr_high": round(thr_s_high, 1),
             "efficiency": round(eff, 3),
         }
+
+    # MOR ingest throughput at the same high-core count (merge wall only;
+    # compaction runs after the timed window, as it would on a schedule)
+    mor = _spawn_leg(SCALE_HIGH, seg_dir, mode="scale-mor")
+    result["mor"] = {
+        "cores": SCALE_HIGH,
+        "walls": mor["walls"],
+        "events_per_sec": round(n_delivered / mor["min_wall_s"], 1),
+    }
 
     shutil.rmtree(seg_dir, ignore_errors=True)
 
