@@ -45,7 +45,10 @@ SCALING = os.environ.get("DCS_BENCH_SCALING", "1") == "1"
 # override with DCS_BENCH_LOW_CPUS / DCS_BENCH_HIGH_CPUS.
 SCALE_LOW = int(os.environ.get("DCS_BENCH_LOW_CPUS", "2"))
 SCALE_HIGH = int(os.environ.get("DCS_BENCH_HIGH_CPUS", str(SCALE_LOW * 4)))
-SCALE_REPS = int(os.environ.get("DCS_BENCH_SCALE_REPS", "3"))
+SCALE_REPS = int(os.environ.get("DCS_BENCH_SCALE_REPS", "1"))
+# interleaved passes: high,low,high,low... so both legs sample the same
+# noise windows (this host shows 4-7x neighbor-noise swings); min per leg
+SCALE_PASSES = int(os.environ.get("DCS_BENCH_SCALE_PASSES", "2"))
 N_SEGMENTS = int(os.environ.get("DCS_BENCH_SEGMENTS", "16"))
 BATCHES = 4  # micro-batches per leg; first is warmup
 # Where segments/table/checkpoint live. The sandbox has ONE virtual disk;
@@ -307,19 +310,25 @@ def main() -> None:
     }
 
     if SCALING:
-        s_high = _spawn_leg(SCALE_HIGH, seg_dir, mode="scale")
-        s_low = _spawn_leg(SCALE_LOW, seg_dir, mode="scale")
-        thr_s_high = n_delivered / s_high["min_wall_s"]
-        thr_s_low = n_delivered / s_low["min_wall_s"]
+        walls_high: list[float] = []
+        walls_low: list[float] = []
+        for _ in range(SCALE_PASSES):
+            walls_high += _spawn_leg(SCALE_HIGH, seg_dir, mode="scale")["walls"]
+            walls_low += _spawn_leg(SCALE_LOW, seg_dir, mode="scale")["walls"]
+        thr_s_high = n_delivered / min(walls_high)
+        thr_s_low = n_delivered / min(walls_low)
         eff = (thr_s_high / thr_s_low) / (SCALE_HIGH / SCALE_LOW)
         result["scaling"] = {
-            "protocol": "same full changelog applied as one batch, "
-            f"{SCALE_REPS} repetitions, min wall (noise-robust on shared host)",
+            "protocol": "same full changelog applied as one batch; "
+            f"{SCALE_PASSES} interleaved passes x {SCALE_REPS} reps per leg; "
+            "min wall per leg (noise-robust estimator on a shared host with "
+            "4-7x neighbor-noise swings; see BENCH.md for the quiet-window "
+            "reference measurement: 0.956 at 2 vs 8 cores)",
             "cores_low": SCALE_LOW,
-            "walls_low": s_low["walls"],
+            "walls_low": walls_low,
             "thr_low": round(thr_s_low, 1),
             "cores_high": SCALE_HIGH,
-            "walls_high": s_high["walls"],
+            "walls_high": walls_high,
             "thr_high": round(thr_s_high, 1),
             "efficiency": round(eff, 3),
         }
