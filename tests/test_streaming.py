@@ -191,3 +191,39 @@ def test_transforms_in_pipeline(spark, tmp_path):
     assert got["text"].tolist() == ["mail me at <email>", "card <num> ok"]
     assert got["tool"].tolist()[0] is None or pd.isna(got["tool"].tolist()[0])
     assert got["tool"].tolist()[1] == "searchtool"
+
+
+def test_continuous_trigger_tails_new_segments(spark, tmp_path):
+    """Production mode: processing-time trigger tails the directory; a
+    segment written AFTER the stream starts is applied without restart."""
+    import time
+
+    from datacollector_spark.sources.generator import ChangelogSpec, generate_changelog
+
+    df = generate_changelog(spark, ChangelogSpec(n_events=2000, n_conversations=30, seed=3))
+    base = df.drop("delivery_pos")
+    src = str(tmp_path / "seg")
+    base.where("lsn < 1000").coalesce(1).write.mode("append").parquet(src)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), transcripts_schema(), KEY_COLUMNS, num_buckets=4
+    )
+    pipe = CdcIngestPipeline(
+        spark, src, table, str(tmp_path / "ckpt"),
+        source_schema=base.schema, max_files_per_trigger=4,
+    )
+    q = pipe.run_continuous("1 seconds")
+    try:
+        deadline = time.time() + 90
+        while pipe.batches_applied < 1 and time.time() < deadline:
+            time.sleep(1)
+        assert pipe.batches_applied >= 1
+        n1 = table.refresh().read().count()
+        base.where("lsn >= 1000").coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if table.refresh().read().count() > n1:
+                break
+            time.sleep(1)
+        assert table.refresh().read().count() > n1
+    finally:
+        q.stop()
