@@ -38,6 +38,24 @@ splits = st.lists(st.integers(1, 6), min_size=1, max_size=4)
 )
 @given(evs=events, batch_sizes=splits, data=st.data())
 def test_random_changelog_replay_equals_oracle(spark, tmp_path_factory, evs, batch_sizes, data):
+    _run_replay(spark, tmp_path_factory, evs, batch_sizes, data, mode="cow")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events, batch_sizes=splits, data=st.data())
+def test_random_changelog_replay_equals_oracle_mor(
+    spark, tmp_path_factory, evs, batch_sizes, data
+):
+    # merge-on-read path under the same adversarial inputs, with a mid-run
+    # compaction thrown in
+    _run_replay(spark, tmp_path_factory, evs, batch_sizes, data, mode="mor")
+
+
+def _run_replay(spark, tmp_path_factory, evs, batch_sizes, data, mode):
     rows = []
     for lsn, (op, conv, turn) in enumerate(evs):
         rows.append(
@@ -84,7 +102,9 @@ def test_random_changelog_replay_equals_oracle(spark, tmp_path_factory, evs, bat
         batch = delivered[i : i + size]
         i += size
         df = spark.createDataFrame(batch, schema)
-        table.merge(lww_collapse(df), commit_key=f"b{b}")
+        table.merge(lww_collapse(df), commit_key=f"b{b}", mode=mode)
+        if mode == "mor" and b == 1:
+            table.compact_deltas()
         b += 1
 
     got = (
