@@ -472,6 +472,34 @@ def q_window_topk_per_key(spark, sf_dir):
     )
 
 
+def q_window_tumbling_counts(spark, sf_dir):
+    """Tumbling event-time window aggregation (SURVEY §2.7 — native in
+    Spark, absent in the reference): per-hour per-type event counts."""
+    df = _t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_framework_fan_in(spark, sf_dir):
+    """Multiplexer/combiner (SURVEY §2.1): fan a source out to two processed
+    lanes, union them back (CombinerPipe ≙ unionByName)."""
+    ev = _t(spark, sf_dir, "events")
+    lane_a = ev.where(F.col("value") >= 500).withColumn("lane", F.lit("high"))
+    lane_b = ev.where(F.col("value") < 500).withColumn(
+        "lane", F.lit("low")
+    )
+    combined = lane_a.unionByName(lane_b)
+    return combined.groupBy("lane", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -661,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_ip_range": q_lookup_ip_range,
         "agg_metrics_rollup": q_agg_metrics_rollup,
         "window_topk_per_key": q_window_topk_per_key,
+        "window_tumbling_counts": q_window_tumbling_counts,
+        "framework_fan_in": q_framework_fan_in,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -854,6 +884,16 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id) AS rank
               FROM events) WHERE rank <= 3
+        """,
+        "window_tumbling_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "framework_fan_in": """
+            SELECT CASE WHEN value >= 500 THEN 'high' ELSE 'low' END AS lane,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
