@@ -488,6 +488,17 @@ def q_window_tumbling_counts(spark, sf_dir):
     )
 
 
+def q_window_session_counts(spark, sf_dir):
+    """Session windows per user (30-min gap): event count + session span.
+    Spark's session_window vs the classic gaps-and-islands SQL in DuckDB."""
+    df = _t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event"))
+        .select("user_id", "first_event", "n")
+    )
+
+
 def q_framework_fan_in(spark, sf_dir):
     """Multiplexer/combiner (SURVEY §2.1): fan a source out to two processed
     lanes, union them back (CombinerPipe ≙ unionByName)."""
@@ -690,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_metrics_rollup": q_agg_metrics_rollup,
         "window_topk_per_key": q_window_topk_per_key,
         "window_tumbling_counts": q_window_tumbling_counts,
+        "window_session_counts": q_window_session_counts,
         "framework_fan_in": q_framework_fan_in,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
@@ -889,6 +901,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "window_session_counts": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            sessions AS (
+              SELECT user_id, event_id,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id, min(event_id) AS first_event, count(*) AS n
+            FROM sessions GROUP BY user_id, sid
         """,
         "framework_fan_in": """
             SELECT CASE WHEN value >= 500 THEN 'high' ELSE 'low' END AS lane,
