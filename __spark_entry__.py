@@ -109,6 +109,168 @@ last_per_key AS (
 
 _MD5LONG = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
 
+
+def _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs: same md5-derived 28-bit base,
+    same affine (a,b) literals, same band hashing — exact pair parity."""
+    from datacollector_spark.functions.hashing import affine_params
+    from datacollector_spark.operators.dedup import MINHASH_PRIME
+
+    rpb = num_hashes // bands
+    params = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(affine_params(num_hashes, MINHASH_PRIME))
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        hashed AS (
+          SELECT doc_id, s,
+                 CAST(('0x' || substring(md5(s),1,7)) AS BIGINT) AS base
+          FROM shingles),
+        params(i, a, b) AS (VALUES {params}),
+        sig AS (
+          SELECT doc_id, p.i,
+                 min((p.a * h.base + p.b) % {MINHASH_PRIME}) AS hv
+          FROM hashed h CROSS JOIN params p GROUP BY doc_id, p.i),
+        bands AS (
+          SELECT doc_id, i // {rpb} AS band,
+                 CAST(('0x' || substring(md5(
+                   string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)),1,15)) AS BIGINT) AS bh
+          FROM sig GROUP BY doc_id, i // {rpb}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        shared AS (
+          SELECT c.id_a, c.id_b, count(*) AS cnt
+          FROM cand c
+          JOIN shingles sa ON sa.doc_id = c.id_a
+          JOIN shingles sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+          GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b,
+               ROUND(CAST(cnt AS DOUBLE) / (na.n + nb.n - cnt), 6) AS jaccard
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(cnt AS DOUBLE) / (na.n + nb.n - cnt) >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming=3, chunks=4, bits=60) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs (md5_long token hash)."""
+    width = bits // chunks
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        th AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(t),1,15)) AS BIGINT) AS h
+          FROM toks),
+        votes AS (
+          SELECT doc_id, bt.b,
+                 SUM(CASE WHEN (h >> bt.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS b) bt
+          GROUP BY doc_id, bt.b),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+          FROM votes GROUP BY doc_id),
+        chunks AS (
+          SELECT doc_id, fp, ct.c,
+                 (fp >> (ct.c * {width})) & {(1 << width) - 1} AS cv
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {chunks - 1})) AS c) ct),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.fp AS fa, b.fp AS fb
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle(dim=64, planes=6, k=5) -> str:
+    """DuckDB twin of similarity.lsh_ann_topk: same md5-seeded hyperplane
+    literals, same left-assoc double dot product for the sign buckets."""
+    from datacollector_spark.operators.similarity import _hyperplane
+
+    def dot_expr(plane: int) -> str:
+        w = _hyperplane(dim, plane)
+        return " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {w[d]!r}" for d in range(dim)
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN ({dot_expr(p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    probes = ", ".join(f"({m})" for m in [0] + [1 << p for p in range(planes)])
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+          FROM b WHERE vec_id < 8),
+        probes(m) AS (VALUES {probes}),
+        qp AS (SELECT query_id, qe, xor(qb, m) AS pb FROM q CROSS JOIN probes),
+        scored AS (
+          SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(qp.qe AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM qp JOIN b c ON c.bucket = qp.pb AND c.vec_id != qp.query_id)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+_MEDIA_CTE = """
+media AS (
+  SELECT t.media_id,
+         CASE CAST((t.media_id * 2654435761 + 42) % 3 AS INT)
+              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST((t.media_id * 16807 + 42) % 60000 + 1000 AS INT) AS duration_ms,
+         sha256('payload-' || CAST(t.media_id AS VARCHAR)) AS hex
+  FROM generate_series(0, 255) AS t(media_id)
+)
+"""
+
+
+def _media_features_oracle(dim=16) -> str:
+    """DuckDB twin of multimodal.extract_image_features over the synthetic
+    media table: payload = 64 ASCII bytes of the sha256 hex digest; feature
+    j = little-endian uint32 of bytes 4j..4j+3, / 2^32, rounded to float32."""
+
+    def feat(j: int) -> str:
+        b = " + ".join(
+            f"ascii(substr(hex, {4 * j + bk + 1}, 1)) * {1 << (8 * bk)}"
+            for bk in range(4)
+        )
+        return f"CAST(CAST(({b}) / 4294967296.0 AS REAL) AS DOUBLE)"
+
+    total = " + ".join(feat(j) for j in range(dim))
+    return f"""
+        WITH {_MEDIA_CTE}
+        SELECT media_id, CAST({dim} AS INT) AS feat_dim, TRUE AS decode_ok,
+               ROUND({total}, 4) AS feat_sum
+        FROM media WHERE kind = 'image'
+    """
+
+
+_FRAME_SAMPLING_ORACLE = f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, CAST(g.frame_ts_ms AS INT) AS frame_ts_ms,
+           'application/x-fake-' || kind AS mime
+    FROM media, UNNEST(generate_series(0, duration_ms, 1000)) AS g(frame_ts_ms)
+    WHERE kind = 'video'
+"""
+
 _SHINGLE_CTE = """
 docs AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
@@ -538,11 +700,13 @@ def q_tpch_top_orders(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
         )
     )
+    # orderBy().limit(k) plans TakeOrderedAndProject (per-partition partial
+    # top-k, k rows to the driver) — no single-partition global window; the
+    # rank window then runs over only the 10 surviving rows.
+    top = rev.orderBy(F.col("_rev").desc(), "l_orderkey").limit(10)
     w = Window.orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("l_orderkey", F.round("_rev", 2).alias("revenue"), "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "l_orderkey", F.round("_rev", 2).alias("revenue"), "rank"
     )
 
 
@@ -784,10 +948,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "proc_precondition_filter": """
             SELECT event_type,
-                   sum(CASE WHEN value >= 100 AND props IS NOT NULL
-                            THEN 1 ELSE 0 END) AS n_pass,
-                   sum(CASE WHEN value >= 100 AND props IS NOT NULL
-                            THEN 0 ELSE 1 END) AS n_error
+                   CAST(sum(CASE WHEN value >= 100 AND props IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN value >= 100 AND props IS NOT NULL
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_error
             FROM events GROUP BY event_type
         """,
         "proc_expression_evaluator": """
@@ -1020,4 +1184,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min({_MD5LONG.format(x='s')}) AS fp
             FROM shingles GROUP BY doc_id
         """,
+        "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4),
+        "dedup_simhash": _simhash_oracle(max_hamming=3, chunks=4),
+        "ann_lsh_topk": _ann_lsh_oracle(dim=64, planes=6, k=5),
+        "multimodal_image_features": _media_features_oracle(dim=16),
+        "multimodal_frame_sampling": _FRAME_SAMPLING_ORACLE,
     }

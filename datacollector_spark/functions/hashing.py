@@ -28,6 +28,33 @@ def md5_long_sql(expr: str, salt: str | None = None) -> str:
     return f"CAST(('0x' || substring(md5({src}),1,15)) AS BIGINT)"
 
 
+def md5_base28(col: Column) -> Column:
+    """28-bit positive deterministic hash (7 hex chars of md5) — small
+    enough that (a * base + b) with a < 2^31 stays inside int64 on every
+    engine (DuckDB raises on int64 overflow; Java would silently wrap)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast("long")
+
+
+def md5_base28_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_base28`."""
+    return f"CAST(('0x' || substring(md5({expr}),1,7)) AS BIGINT)"
+
+
+def affine_params(k: int, prime: int) -> list[tuple[int, int]]:
+    """K deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i*x + b_i) mod prime — md5-seeded so both engines inline
+    the same literals; a_i != 0."""
+    import hashlib
+
+    def _h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+    return [
+        (_h(f"mh-a-{i}") % (prime - 1) + 1, _h(f"mh-b-{i}") % prime)
+        for i in range(k)
+    ]
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column, as array<string>.
 

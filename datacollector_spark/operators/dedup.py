@@ -23,14 +23,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datacollector_spark.functions.hashing import md5_long, word_shingles
+from datacollector_spark.functions.hashing import (
+    affine_params,
+    md5_base28,
+    md5_long,
+    word_shingles,
+)
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne); a*base < 2^59 stays in int64
 
 
 def exact_dedup(df: DataFrame, columns: list[str], id_col: str) -> DataFrame:
     """Keep one representative row (min id) per exact content group; add
     ``dup_count``. The scalable form of DeDupProcessor: hash-aggregate,
     map-side combined, shuffle = distinct groups."""
-    others = [c for c in df.columns if c not in columns]
     return (
         df.groupBy(*columns)
         .agg(
@@ -44,27 +50,41 @@ def exact_dedup(df: DataFrame, columns: list[str], id_col: str) -> DataFrame:
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
     """K minhash values over word shingles as array<bigint>.
 
-    h_i(s) = xxhash64(s, i); the per-row min over shingles approximates
-    Jaccard similarity: P[min_i(A)=min_i(B)] = J(A,B).
+    Universal-hash family: each shingle is hashed ONCE to a 28-bit base
+    (md5-derived, cross-engine reproducible), then the K permutations are
+    pure arithmetic h_i(s) = (a_i*base + b_i) mod p — so the per-shingle
+    cost is one md5 + K multiply-adds, not K cryptographic hashes.
+    P[min_i(A)=min_i(B)] = J(A,B) as usual.
 
     Implemented as ONE aggregate() fold over the shingle array with K
     accumulators (zip_with least), not K separate array_min(transform)
     expressions: Catalyst's projection collapse would inline the (costly)
     shingling expression into every one of the K copies — measured ~10x
-    slower. The fold touches each shingle once and hashes it K times.
+    slower. The fold touches each shingle once.
     """
     sh = word_shingles(text, shingle_n)
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    return F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(seeds, lambda i: F.xxhash64(s, i)),
-            F.least,
-        ),
-    )
+    return _minhash_fold(sh, num_hashes)
+
+
+def _minhash_fold(shingles: Column, num_hashes: int) -> Column:
+    """aggregate() fold computing K affine minhashes over a shingle array.
+
+    The md5 base hash is hoisted into its own transform() pass: a lambda
+    body is re-evaluated per zip_with element, so computing the base inside
+    the K-wide zip would md5 every shingle K times (measured 32x cost)."""
+    ab = affine_params(num_hashes, MINHASH_PRIME)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in ab])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in ab])
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    bases = F.transform(shingles, lambda s: md5_base28(s))
+
+    def step(acc: Column, h: Column) -> Column:
+        hashes = F.zip_with(
+            a_arr, b_arr, lambda a, b: F.pmod(a * h + b, F.lit(MINHASH_PRIME))
+        )
+        return F.zip_with(acc, hashes, lambda x, y: F.least(x, y))
+
+    return F.aggregate(bases, init, step)
 
 
 def minhash_lsh_pairs(
@@ -75,46 +95,48 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     verify_threshold: float | None = 0.6,
+    spread: bool = True,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs (id_a < id_b) via banded minhash LSH,
-    optionally verified with exact shingle Jaccard.
+    """Near-duplicate pairs (id_a < id_b) via banded minhash LSH, verified
+    with exact shingle Jaccard.
 
-    rows/band bucket ~ collisions only; the self-join is on
-    (band_idx, band_hash) so its shuffle key cardinality is ~corpus size,
-    and no pair outside a shared bucket is ever materialized — the property
-    that makes this run at 10^8+ docs.
+    Scale shape: the band self-join carries ONLY (id, band, band_hash) — 24
+    bytes/row — never document content; shingle arrays are joined back to
+    the few surviving candidate pairs for the exact verify. Shuffle key
+    cardinality ~ corpus size x bands, and no pair outside a shared bucket
+    is ever materialized — the properties that make this run at 10^8+ docs.
+    Every hash is md5-derived arithmetic, so a SQL oracle (DuckDB) can
+    reproduce the exact pair set (see __spark_entry__.oracle_sql).
+
+    ``spread`` repartitions the (id, text) projection to the cluster's
+    default parallelism before the hash-heavy signature pass: the md5+fold
+    compute dominates one shuffle of raw text at every scale, and without
+    it a corpus read as few splits (small files, huge row groups) serializes
+    the expensive pass onto a handful of cores.
     """
     rows_per_band = num_hashes // bands
-    # materialize shingles ONCE; building the signature from the column
-    # reference keeps the (expensive) shingle expression out of each of the
-    # K per-hash transforms (no reliance on expression CSE)
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-    )
-    sig = shingled.select(
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    if spread:
+        src = src.repartition(df.sparkSession.sparkContext.defaultParallelism, "_id")
+    # materialize shingles ONCE (reused by the verify joinback)
+    shingled = src.select(
         "_id",
-        "_sh",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("_sh"), lambda s, i=i: md5_long(s, salt=f"#{i}"))
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("_sig"),
+        word_shingles(F.col("_t"), shingle_n).alias("_sh"),
     )
+    sig = shingled.select("_id", _minhash_fold(F.col("_sh"), num_hashes).alias("_sig"))
+    # id-only band rows: band hash = md5_long of the comma-joined band slice
     banded = sig.select(
         "_id",
-        "_sh",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    md5_long(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                F.element_at("_sig", b * rows_per_band + r + 1).cast(
+                                    "string"
+                                )
                                 for r in range(rows_per_band)
                             ],
                         )
@@ -124,23 +146,37 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bh"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bh") == F.col("b._bh"))
-            & (F.col("a._id") < F.col("b._id")),
+    # bucket expansion instead of a self-join: ONE shuffle on (band, bh) and
+    # the signature pipeline runs once (a self-join evaluates it per side —
+    # locally AQE broadcasts one side, which defeats exchange reuse; at
+    # cluster scale the join shuffles the banded frame twice). Buckets are
+    # tiny by LSH design, so the within-bucket pair blowup is bounded.
+    grouped = (
+        banded.groupBy("_band", "_bh")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ids",
+                        lambda x, i: F.transform(
+                            F.slice("_ids", i + 2, F.size("_ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("_p")
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("_sha"),
-            F.col("b._sh").alias("_shb"),
-        )
+        .select("_p.id_a", "_p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # joinback: only candidate pairs (<< corpus) pull their shingle arrays
+    sh_a = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sh_b = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(F.array_union("_sha", "_shb"))
     out = pairs.withColumn("jaccard", jac.cast("double")).drop("_sha", "_shb")
     if verify_threshold is not None:
@@ -148,23 +184,21 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit simhash of word tokens, as a signed long.
+SIMHASH_BITS = 60  # md5_long width: bit masks stay positive in int64
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """``bits``-wide simhash of word tokens, as a (positive) long.
 
     Each token votes +-1 per bit position (bit b of md5_long(token)); the
     fingerprint's bit b is 1 iff the sum is positive. Implemented with
-    aggregate() over the token array — single pass, JVM-side.
+    aggregate() over the token array — single pass, JVM-side. md5_long is
+    the token hash so a SQL oracle can reproduce the fingerprint exactly
+    (60 usable bits; masks never touch the sign bit).
     """
-    import struct as _struct
-
-    def _mask(b: int) -> int:  # signed-long bit mask (bit 63 wraps negative)
-        return _struct.unpack("q", _struct.pack("Q", 1 << b))[0]
-
-    masks = F.array(*[F.lit(_mask(b)).cast("long") for b in range(bits)])
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     tokens = F.split(F.trim(F.lower(text)), r"\s+")
-    # xxhash64: full 64-bit coverage (md5_long is 60-bit; no oracle needs
-    # to reproduce simhash, so the fast JVM hash wins)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, lambda t: md5_long(t))
     # votes[b] = sum over tokens of (bit b set ? 1 : -1)
     votes = F.aggregate(
         hashes,
@@ -192,18 +226,20 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole: split the 64-bit fingerprint into ``chunks`` pieces; any pair
+    Pigeonhole: split the fingerprint into ``chunks`` pieces; any pair
     within hamming<=chunks-1 shares at least one identical chunk, so
     candidates come from chunk-bucket self-joins (requires
-    max_hamming < chunks). Verification = bit_count(xor).
+    max_hamming < chunks). Verification = bit_count(xor). The self-join
+    carries only (id, chunk, value) — 20 bytes/row — never text.
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole requires max_hamming < chunks")
-    width = 64 // chunks
-    fp = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_fp"))
+    width = bits // chunks
+    fp = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_fp"))
     chunked = fp.select(
         "_id",
         "_fp",

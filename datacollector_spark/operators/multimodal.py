@@ -44,22 +44,24 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payload = seeded bytes) for
-    exercising the plumbing at any scale — columnar generation, no driver
-    loop."""
+    """Deterministic fake media table (binary payload = ASCII bytes of a
+    sha256 hex digest) for exercising the plumbing at any scale — columnar
+    generation, no driver loop. All derivations are pure modular arithmetic
+    + sha256, so a SQL oracle reproduces every column exactly."""
     i = F.col("id")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (F.pmod(i * 2654435761 + seed, F.lit(3)) + 1).cast("int"),
     )
-    payload = F.sha2(F.concat(F.lit("payload-"), i.cast("string")), 512).cast("binary")
+    # hex string cast to binary = its 64 ASCII bytes (reproducible cross-engine)
+    payload = F.sha2(F.concat(F.lit("payload-"), i.cast("string")), 256).cast("binary")
     return spark.range(n).select(
         i.alias("media_id"),
         kind.alias("kind"),
         F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
-        F.when(kind == "image", (F.pmod(F.xxhash64(i, F.lit(1)), F.lit(512)) + 32).cast("int")).alias("width"),
-        F.when(kind == "image", (F.pmod(F.xxhash64(i, F.lit(2)), F.lit(512)) + 32).cast("int")).alias("height"),
-        F.when(kind != "image", (F.pmod(F.xxhash64(i, F.lit(3)), F.lit(60000)) + 1000).cast("int")).alias("duration_ms"),
+        F.when(kind == "image", (F.pmod(i * 48271 + seed, F.lit(512)) + 32).cast("int")).alias("width"),
+        F.when(kind == "image", (F.pmod(i * 69621 + seed, F.lit(512)) + 32).cast("int")).alias("height"),
+        F.when(kind != "image", (F.pmod(i * 16807 + seed, F.lit(60000)) + 1000).cast("int")).alias("duration_ms"),
         payload.alias("payload"),
     )
 
