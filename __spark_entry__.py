@@ -725,7 +725,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from datacollector_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=3, threshold=0.4
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.4,
+        max_shingle_df=100,  # stop-shingle cap, mirrored in the oracle
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1117,10 +1122,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE},
-            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            capped AS (
+              SELECT doc_id, s FROM shingles
+              WHERE s IN (SELECT s FROM shingles GROUP BY s HAVING count(*) <= 100)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
             shared AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              FROM shingles a JOIN shingles b
+              FROM capped a JOIN capped b
                 ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b,

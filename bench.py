@@ -10,11 +10,12 @@ Headline: the CDC apply path (BASELINE.md) — seeded changelog segments ->
 Structured Streaming AvailableNow -> LWW collapse -> transforms -> lake
 MERGE.
 
-Scaling protocol (BASELINE.md): the SAME segment input is replayed at
-local[N] and local[4N] in SEPARATE subprocesses (cold-fair: both legs pay
-JVM/codegen warmup once, neither inherits the other's JIT state), and
-throughput is the STEADY-STATE rate: per-micro-batch walls come from the
-pipeline's own lineage records, the first warmup batch is excluded.
+Scaling protocol (BASELINE.md): the SAME input is applied at local[N] and
+local[4N] in SEPARATE subprocesses (cold-fair: both legs pay JVM/codegen
+warmup once, neither inherits the other's JIT state; a per-leg in-process
+warmup merge keeps JVM startup out of the timed window). Legs run as
+alternating sequential rounds (H,L,H,L) so each samples several separated
+noise windows and never contends with the other; min-of-all-reps per leg.
 efficiency = (thr_high / thr_low) / (cores_high / cores_low), target >= 0.8.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, DCS_BENCH_EVENTS,
@@ -46,6 +47,7 @@ SCALING = os.environ.get("DCS_BENCH_SCALING", "1") == "1"
 SCALE_LOW = int(os.environ.get("DCS_BENCH_LOW_CPUS", "2"))
 SCALE_HIGH = int(os.environ.get("DCS_BENCH_HIGH_CPUS", str(SCALE_LOW * 4)))
 SCALE_REPS = int(os.environ.get("DCS_BENCH_SCALE_REPS", "2"))
+SCALE_ROUNDS = int(os.environ.get("DCS_BENCH_SCALE_ROUNDS", "2"))
 N_SEGMENTS = int(os.environ.get("DCS_BENCH_SEGMENTS", "16"))
 BATCHES = 4  # micro-batches per leg; first is warmup
 # Where segments/table/checkpoint live. The sandbox has ONE virtual disk;
@@ -167,6 +169,16 @@ def _run_leg(spark, segments_dir: str, cores: int) -> dict:
     }
 
 
+def _noise_probe() -> float:
+    """Fixed single-thread CPU task (~0.2 s quiet); its wall time is direct
+    evidence of host contention in the surrounding measurement window."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _run_scaling_leg(
     spark, segments_dir: str, cores: int, reps: int, merge_mode: str = "cow"
 ) -> dict:
@@ -192,15 +204,16 @@ def _run_scaling_leg(
         num_buckets=32,
     )
     raw = spark.read.parquet(segments_dir)
-    # warmup: a 1/16 slice through the identical code path
-    table.merge(
-        transcript_transforms(
-            lww_collapse(raw.where(F.pmod("lsn", F.lit(16)) == 0))
-        ),
-        commit_key="warm",
-    )
-    walls = []
+    # warmup: one FULL-SIZE untimed rep through the identical code path —
+    # the first full rep pays codegen/JIT/shuffle-infra growth that a small
+    # slice does not reach (measured: first timed rep 1.5-4x slower than
+    # steady even after a 1/16-slice warmup), and that bias hits the short
+    # high-core leg hardest
+    table.merge(transcript_transforms(lww_collapse(raw)), commit_key="warm")
+    table.expire_snapshots(keep_last=1)
+    walls, probes = [], []
     for i in range(reps):
+        probes.append(_noise_probe())
         c = transcript_transforms(lww_collapse(raw))
         t0 = _time.time()
         table.merge(c, commit_key=f"rep-{i}", mode=merge_mode)
@@ -213,6 +226,7 @@ def _run_scaling_leg(
         "cores": cores,
         "mode": merge_mode,
         "walls": walls,
+        "noise_probe_s": probes,
         "min_wall_s": min(walls),
     }
 
@@ -312,29 +326,42 @@ def main() -> None:
     }
 
     if SCALING:
-        # both legs run SIMULTANEOUSLY (10 threads total on a 32-vCPU host:
-        # negligible mutual contention) so they sample the identical noise
-        # window — the fairest comparison a noisy shared host allows
-        p_high = _leg_proc(SCALE_HIGH, seg_dir, "scale")
-        p_low = _leg_proc(SCALE_LOW, seg_dir, "scale")
-        s_high = _leg_wait(p_high, "high")
-        s_low = _leg_wait(p_low, "low")
-        walls_high = s_high["walls"]
-        walls_low = s_low["walls"]
+        # Sequential leg blocks, alternating H,L,H,L across SCALE_ROUNDS
+        # rounds: each leg samples several separated noise windows, and the
+        # legs never contend with each other (simultaneous legs starve the
+        # high-core leg disproportionately when a neighbor spikes — measured
+        # 0.551 vs 0.956 for the same protocol in noisy vs quiet windows).
+        # min-of-all-reps per leg estimates the noise-free capability; the
+        # per-rep single-thread noise probe documents in-window contention.
+        walls_high: list[float] = []
+        walls_low: list[float] = []
+        probes_high: list[float] = []
+        probes_low: list[float] = []
+        for _ in range(SCALE_ROUNDS):
+            s_high = _spawn_leg(SCALE_HIGH, seg_dir, "scale")
+            walls_high += s_high["walls"]
+            probes_high += s_high["noise_probe_s"]
+            s_low = _spawn_leg(SCALE_LOW, seg_dir, "scale")
+            walls_low += s_low["walls"]
+            probes_low += s_low["noise_probe_s"]
         thr_s_high = n_delivered / min(walls_high)
         thr_s_low = n_delivered / min(walls_low)
         eff = (thr_s_high / thr_s_low) / (SCALE_HIGH / SCALE_LOW)
         result["scaling"] = {
-            "protocol": "same full changelog applied as one batch; both legs "
-            f"run simultaneously ({SCALE_REPS} reps, min wall per leg) so "
-            "they share the noise window (this host shows 4-7x "
-            "neighbor-noise swings; BENCH.md records the quiet-window "
-            "reference measurement: 0.956 at 2 vs 8 cores)",
+            "protocol": "same full changelog applied as one batch; "
+            f"{SCALE_ROUNDS} alternating sequential rounds of (high leg, "
+            f"low leg), {SCALE_REPS} reps per leg per round, min wall per "
+            "leg across all rounds (min-of-reps estimates noise-free "
+            "capability on a shared host with 4-7x neighbor-noise swings; "
+            "noise_probe_s = wall of a fixed ~0.2s single-thread task "
+            "before each rep, quiet baseline ~0.2)",
             "cores_low": SCALE_LOW,
             "walls_low": walls_low,
+            "noise_probe_low_s": probes_low,
             "thr_low": round(thr_s_low, 1),
             "cores_high": SCALE_HIGH,
             "walls_high": walls_high,
+            "noise_probe_high_s": probes_high,
             "thr_high": round(thr_s_high, 1),
             "efficiency": round(eff, 3),
         }

@@ -25,13 +25,16 @@ jdbc-lib/.../lib/jdbc/JdbcRecordReader.java:48-77 and
 kudu-protolib/.../kudu/KuduTarget.java:338-372):
 
     MERGE INTO t USING s ON <keys>
-      WHEN MATCHED AND s.lsn > t._lsn AND s.op = 2  THEN DELETE
-      WHEN MATCHED AND s.lsn > t._lsn               THEN UPDATE SET *
+      WHEN MATCHED AND s.ord > t._lsn AND s.op = 2  THEN DELETE
+      WHEN MATCHED AND s.ord > t._lsn               THEN UPDATE SET *
       WHEN NOT MATCHED AND s.op != 2                THEN INSERT *
 
-The `s.lsn > t._lsn` guard makes replays idempotent even without the commit
-key (defense in depth: at-least-once delivery collapses to exactly-once
-state).
+where `ord` (stored as `_lsn`) is the SAME total order the in-batch collapse
+uses: lsn<<16 | seq_in_tx when the batch carries seq_in_tx, bare lsn
+otherwise. The `s.ord > t._lsn` guard makes replays idempotent even without
+the commit key (defense in depth: at-least-once delivery collapses to
+exactly-once state), and stays correct across micro-batch boundaries when
+two changes to one key share an lsn but differ in seq_in_tx.
 
 Concurrency contract: single writer (the streaming query); readers see
 committed snapshots only (manifest pointer flips atomically via rename).
@@ -54,7 +57,12 @@ from datacollector_spark.model import LSN_COLUMN, OP_DELETE
 _BUCKET_COL = "_bucket"
 DELETED_COLUMN = "_deleted"
 
-# legal type widenings (Hive/Iceberg-style promotion only)
+# legal type widenings (Hive/Iceberg-style promotion only). Every pair here
+# must keep OLD data files readable through the widened schema: Spark's
+# parquet reader accepts int->long, float->double (SPARK-40876) and
+# date->timestamp_ntz, but NOT date->timestamp (LTZ) — that pair fails with
+# PARQUET_COLUMN_DATA_TYPE_MISMATCH on the un-rewritten files, so it is
+# deliberately absent. Guarded by test_widenings_keep_old_files_readable.
 _WIDENINGS = {
     ("integer", "long"),
     ("short", "integer"),
@@ -63,8 +71,23 @@ _WIDENINGS = {
     ("byte", "integer"),
     ("byte", "long"),
     ("float", "double"),
-    ("date", "timestamp"),
+    ("date", "timestamp_ntz"),
 }
+
+# manifest bounds: the manifest is rewritten per commit, so everything in it
+# must be O(buckets), never O(stream length). Full lineage lives in the
+# parquet lineage table (streaming/pipeline.py); full replay protection for
+# numeric commit keys lives in the per-stream high-water mark.
+_KEYS_KEEP = 1024
+_LINEAGE_KEEP = 64
+
+
+def _split_commit_key(key: str) -> tuple[str, int] | None:
+    """'ns:microbatch-17' -> ('ns:microbatch', 17); None if no numeric tail."""
+    head, sep, tail = key.rpartition("-")
+    if sep and tail.isdigit():
+        return head, int(tail)
+    return None
 
 
 @dataclass
@@ -142,8 +165,9 @@ class LakeTable:
             "num_buckets": num_buckets,
             "files": {},  # bucket(str) -> [relative paths] (base files)
             "deltas": {},  # bucket(str) -> [relative paths] (MOR delta files)
-            "committed_keys": [],
-            "lineage": [],
+            "committed_keys": [],  # bounded ring of the last _KEYS_KEEP keys
+            "committed_hw": {},  # key-prefix -> max numeric suffix committed
+            "lineage": [],  # bounded tail; full history in the lineage table
         }
         cls._write_manifest(root, manifest)
         return cls(spark, root)
@@ -198,7 +222,29 @@ class LakeTable:
         return list(self._manifest["lineage"])
 
     def committed(self, commit_key: str) -> bool:
+        """O(1)-ish replay check: recent keys live in a bounded ring; keys
+        with a numeric tail (the streaming 'ns:microbatch-N' shape, which
+        commits in order) are additionally covered arbitrarily far back by a
+        per-prefix high-water mark — so the manifest stays O(buckets) while
+        the replay window stays unbounded for ordered streams."""
+        parsed = _split_commit_key(commit_key)
+        if parsed is not None:
+            prefix, n = parsed
+            if n <= self._manifest.get("committed_hw", {}).get(prefix, -1):
+                return True
         return commit_key in self._manifest["committed_keys"]
+
+    def _commit_bookkeeping(self, commit_key: str | None) -> tuple[list, dict]:
+        """New (committed_keys ring, committed_hw) after recording a key."""
+        keys = list(self._manifest["committed_keys"])
+        hw = dict(self._manifest.get("committed_hw", {}))
+        if commit_key is not None:
+            keys = (keys + [commit_key])[-_KEYS_KEEP:]
+            parsed = _split_commit_key(commit_key)
+            if parsed is not None:
+                prefix, n = parsed
+                hw[prefix] = max(hw.get(prefix, -1), n)
+        return keys, hw
 
     def bucket_expr(self, *key_cols: str):
         """bucket(N, key) — same role as Iceberg's bucket transform."""
@@ -365,8 +411,21 @@ class LakeTable:
                 s = s.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
             else:
                 s = s.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        # The stored per-key order (_lsn) is the SAME total order the
+        # in-batch collapse uses: lsn<<16 | seq_in_tx when the batch carries
+        # seq_in_tx, bare lsn otherwise. Storing the packed order keeps the
+        # cross-batch guard (s._ord > t._lsn) and the MOR read winner
+        # consistent with (lsn, seq_in_tx) when two changes to one key share
+        # an lsn but land in different micro-batches.
+        if "seq_in_tx" in source.columns:
+            seq = F.coalesce(F.col("seq_in_tx").cast("long"), F.lit(0)).bitwiseAND(
+                F.lit((1 << 16) - 1)
+            )
+            order_expr = F.shiftleft(F.col("lsn"), 16) + seq
+        else:
+            order_expr = F.col("lsn").cast("long")
         s = (
-            s.select("op", "lsn", *data_cols)
+            s.select("op", "lsn", order_expr.alias("_ord"), *data_cols)
             .withColumn(_BUCKET_COL, self.bucket_expr(*keys))
             .persist()
         )
@@ -411,7 +470,7 @@ class LakeTable:
                     F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
                     for c in non_key_cols
                 ],
-                F.col("lsn").alias(LSN_COLUMN),
+                F.col("_ord").alias(LSN_COLUMN),
                 is_del.alias(DELETED_COLUMN),
             )
             new_version = self.version + 1
@@ -445,10 +504,11 @@ class LakeTable:
             manifest = dict(self._manifest)
             manifest["version"] = new_version
             manifest["deltas"] = deltas
-            manifest["committed_keys"] = list(self._manifest["committed_keys"]) + (
-                [commit_key] if commit_key is not None else []
-            )
-            manifest["lineage"] = list(self._manifest["lineage"]) + [res.as_dict()]
+            keys, hw = self._commit_bookkeeping(commit_key)
+            manifest["committed_keys"], manifest["committed_hw"] = keys, hw
+            manifest["lineage"] = (list(self._manifest["lineage"]) + [res.as_dict()])[
+                -_LINEAGE_KEEP:
+            ]
             self._write_manifest(self.path, manifest)
             self._manifest = manifest
             _mark("manifest")
@@ -479,7 +539,7 @@ class LakeTable:
                     F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
                     for c in non_key_cols
                 ],
-                F.col("lsn").alias(LSN_COLUMN),
+                F.col("_ord").alias(LSN_COLUMN),
                 is_del.alias(DELETED_COLUMN),
             )
         else:
@@ -487,7 +547,7 @@ class LakeTable:
                 *[F.col(k).alias(f"s_{k}") for k in keys],
                 F.col(_BUCKET_COL).alias("s__bucket"),
                 "op",
-                "lsn",
+                "_ord",
                 *[F.col(c).alias(f"s_{c}") for c in non_key_cols],
             )
             # plain equality: key columns are non-null by contract (primary
@@ -495,9 +555,9 @@ class LakeTable:
             cond = [F.col(f"s_{k}") == F.col(k) for k in keys]
             joined = target.join(s_pref, on=cond, how="full_outer")
 
-            src_matched = F.col("lsn").isNotNull()
+            src_matched = F.col("_ord").isNotNull()
             tgt_matched = F.col(LSN_COLUMN).isNotNull()  # live row OR tombstone
-            fresh = src_matched & (~tgt_matched | (F.col("lsn") > F.col(LSN_COLUMN)))
+            fresh = src_matched & (~tgt_matched | (F.col("_ord") > F.col(LSN_COLUMN)))
 
             # Deletes always materialize a tombstone (even for never-seen
             # keys): the tombstone carries the per-key LSN high-water mark,
@@ -526,7 +586,7 @@ class LakeTable:
                 for c in non_key_cols
             ]
             out_cols.append(
-                F.when(from_src, F.col("lsn"))
+                F.when(from_src, F.col("_ord"))
                 .otherwise(F.col(LSN_COLUMN))
                 .alias(LSN_COLUMN)
             )
@@ -592,10 +652,11 @@ class LakeTable:
         manifest["version"] = new_version
         manifest["files"] = files
         manifest["deltas"] = deltas
-        manifest["committed_keys"] = list(self._manifest["committed_keys"]) + (
-            [commit_key] if commit_key is not None else []
-        )
-        manifest["lineage"] = list(self._manifest["lineage"]) + [res.as_dict()]
+        keys, hw = self._commit_bookkeeping(commit_key)
+        manifest["committed_keys"], manifest["committed_hw"] = keys, hw
+        manifest["lineage"] = (list(self._manifest["lineage"]) + [res.as_dict()])[
+            -_LINEAGE_KEEP:
+        ]
         self._write_manifest(self.path, manifest)
         self._manifest = manifest
         _mark("manifest")

@@ -284,15 +284,30 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard >= threshold via inverted shingle index:
     explode shingles, self-join on shingle, count shared, size-join for the
-    union. Shuffle key = shingle (document-frequency bounded); no full
-    cross-product ever exists."""
+    union. Shuffle key = shingle; no full cross-product ever exists.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap BEFORE the self-join (sizes then count the capped sets, so Jaccard
+    stays an honest set similarity over the retained shingles). Without it
+    a corpus-scale stop-shingle ("the quick brown", df=10^6) would create a
+    10^12-pair bucket; with it the worst bucket is max_shingle_df^2 pairs.
+    Standard trade-off: ubiquitous shingles carry ~no similarity signal."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
     ).dropDuplicates(["_id", "_s"])
+    if max_shingle_df is not None:
+        heavy = (
+            sh.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("_s")
+        )
+        sh = sh.join(heavy, "_s", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

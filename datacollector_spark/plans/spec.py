@@ -161,3 +161,17 @@ class PipelineSpec:
                 targets[st["name"]] = lanes[st["in"]]
         lanes.update(targets)
         return lanes
+
+    # ------------------------------------------------------------- preview
+    def preview(self, spark: SparkSession, limit_rows: int = 10) -> dict[str, list[dict]]:
+        """Dry-run: build the DAG, capture up to ``limit_rows`` rows from
+        EVERY lane, commit nothing (the reference's preview runner,
+        container/.../runner/preview/sync/SyncPreviewer.java:73,196 —
+        limited-batch run with per-stage output capture and no offset
+        commit). Sinks are never written; origins are read through the
+        normal scan path, so preview exercises the real plan."""
+        lanes = self.build(spark)
+        return {
+            lane: [r.asDict(recursive=True) for r in df.limit(limit_rows).collect()]
+            for lane, df in lanes.items()
+        }

@@ -54,16 +54,42 @@ def _op_from_type(col):
     )
 
 
-def decode_mysql_binlog(df: DataFrame, json_col: str, lsn_bits: int = 40) -> DataFrame:
+def decode_mysql_binlog(df: DataFrame, json_col: str, lsn_bits: int = 32) -> DataFrame:
     """MySQL binlog JSON -> envelope. LSN = (file index << bits) | position
     — the monotone encoding of the reference's file:pos offsets
     (BinLogPositionSourceOffset.java:34); file index = trailing digits of
-    the binlog filename (mysql-bin.000007 -> 7)."""
+    the binlog filename (mysql-bin.000007 -> 7).
+
+    The collapse/merge packed order (lsn<<16 | seq) needs lsn < 2^47, so
+    the LSN budget is file_idx < 2^(47-lsn_bits) and position < 2^lsn_bits.
+    The default 32 position bits cover max_binlog_size (1 GiB, < 2^31) with
+    headroom and leave 15 bits = 32768 binlog rotations; both bounds are
+    enforced distributively — an out-of-range offset raises instead of
+    silently overflowing into wrong LWW winners."""
     r = F.from_json(F.col(json_col), _MYSQL_SCHEMA)
     file_idx = F.regexp_extract(r["BinLogFilename"], r"(\d+)$", 1).cast("long")
+    pos = r["BinLogPosition"]
+    lsn = F.shiftleft(file_idx, lsn_bits) + pos
+    max_idx = 1 << (47 - lsn_bits)
+    lsn_checked = F.when(
+        (file_idx < max_idx) & (pos >= 0) & (pos < F.lit(1 << lsn_bits).cast("long")),
+        lsn,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"binlog offset out of LSN budget (file_idx < {max_idx}, "
+                    f"position < 2^{lsn_bits}): "
+                ),
+                r["BinLogFilename"],
+                F.lit(":"),
+                pos.cast("string"),
+            )
+        ).cast("long")
+    )
     return df.select(
         _op_from_type(r["Type"]).alias("op"),
-        (F.shiftleft(file_idx, lsn_bits) + r["BinLogPosition"]).alias("lsn"),
+        lsn_checked.alias("lsn"),
         F.coalesce(r["SeqNo"], F.lit(0)).cast("int").alias("seq_in_tx"),
         r["Table"].alias("src_table"),
         r["ServerId"].alias("server_id"),
@@ -91,7 +117,14 @@ def decode_oracle_cdc(df: DataFrame, json_col: str) -> DataFrame:
 
 def decode_mongo_oplog(df: DataFrame, json_col: str) -> DataFrame:
     """Mongo oplog JSON -> envelope. op i/u/d; ts is a packed BSON Timestamp
-    (seconds<<32 | ordinal) which is already a monotone LSN."""
+    (seconds<<32 | ordinal) which is already a monotone LSN.
+
+    For updates the oplog splits the record: 'o2' carries the row key and
+    'o' the modification document, so data = o overlaid with o2 (key fields
+    always win — JdbcMongoDBOplogRecordReader reads the key from o2). The
+    decoder assumes full-document 'o' images (replacement-style updates);
+    operator documents ({$set: ...}) carry nested structure a flat
+    MAP<STRING,STRING> cannot represent and must be decoded upstream."""
     r = F.from_json(F.col(json_col), _MONGO_SCHEMA)
     op = (
         F.when(r["op"] == "i", OP_INSERT)
@@ -100,6 +133,12 @@ def decode_mongo_oplog(df: DataFrame, json_col: str) -> DataFrame:
         .otherwise(5)
         .cast("int")
     )
+    o, o2 = r["o"], r["o2"]
+    # o2 overlays o: strip o2's keys from o, then concat (no dup-key error)
+    o_minus_o2 = F.map_filter(
+        o, lambda k, _v: ~F.coalesce(F.array_contains(F.map_keys(o2), k), F.lit(False))
+    )
+    merged = F.map_concat(F.coalesce(o_minus_o2, F.create_map()), F.coalesce(o2, F.create_map()))
     return df.select(
         op.alias("op"),
         r["ts"].alias("lsn"),
@@ -107,8 +146,8 @@ def decode_mongo_oplog(df: DataFrame, json_col: str) -> DataFrame:
         r["ns"].alias("src_table"),
         F.coalesce(r["h"], F.lit(0)).alias("server_id"),
         F.timestamp_seconds(F.shiftrightunsigned(r["ts"], 32)).alias("commit_ts"),
-        # update: o = modification, o2 = row key; delete: o = key
-        F.when(op == OP_UPDATE, r["o"]).otherwise(r["o"]).alias("data"),
+        # insert/delete: o is the row (or its key); update: key from o2
+        F.when(op == OP_UPDATE, merged).otherwise(o).alias("data"),
         r["o2"].alias("old_data"),
     )
 

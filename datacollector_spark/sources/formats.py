@@ -97,3 +97,39 @@ def parse_avro(col: Column, json_schema: str) -> Column:
     from pyspark.sql.avro.functions import from_avro
 
     return from_avro(col, json_schema)
+
+
+def protobuf_available(spark) -> bool:
+    """PROTOBUF needs the spark-protobuf jar (absent in this sandbox)."""
+    try:
+        from pyspark.sql.protobuf.functions import to_protobuf
+
+        spark.range(1).select(
+            to_protobuf(
+                F.struct(F.lit(1).alias("a")), "M", binaryDescriptorSet=b""
+            )
+        ).collect()
+        return True
+    except Exception:
+        return False
+
+
+def parse_protobuf(
+    col: Column, message_name: str, descriptor_set: bytes
+) -> Column:
+    """PROTOBUF format (commonlib/.../parser/protobuf/ProtobufDataParser.
+    java analog): decode a binary column against a compiled FileDescriptorSet
+    (the reference's descriptor-file config). Raises a clear error when the
+    spark-protobuf module is not on the classpath."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    return from_protobuf(col, message_name, binaryDescriptorSet=descriptor_set)
+
+
+def generate_protobuf(
+    col: Column, message_name: str, descriptor_set: bytes
+) -> Column:
+    """PROTOBUF generate — ProtobufDataGenerator analog."""
+    from pyspark.sql.protobuf.functions import to_protobuf
+
+    return to_protobuf(col, message_name, binaryDescriptorSet=descriptor_set)

@@ -48,6 +48,90 @@ def jdbc_query(
     return df
 
 
+def topological_table_order(
+    tables: list[str], fk_edges: list[tuple[str, str]]
+) -> list[str]:
+    """Referential-constraint table ordering (TableOrderStrategy
+    REFERENTIAL_CONSTRAINTS, jdbc-lib/.../table/util/TopologicalSorter.java):
+    a table is read only after every table it references. ``fk_edges`` are
+    (child, parent) pairs; parents sort first. Deterministic (alphabetical
+    among ready tables); raises ValueError on a reference cycle, like the
+    reference's JDBC_68 error."""
+    deps: dict[str, set[str]] = {t: set() for t in tables}
+    rdeps: dict[str, set[str]] = {t: set() for t in tables}
+    for child, parent in fk_edges:
+        if child in deps and parent in deps and child != parent:
+            deps[child].add(parent)
+            rdeps[parent].add(child)
+    out: list[str] = []
+    ready = sorted(t for t, d in deps.items() if not d)
+    while ready:
+        t = ready.pop(0)
+        out.append(t)
+        for c in sorted(rdeps[t]):
+            deps[c].discard(t)
+            if not deps[c]:
+                ready.append(c)
+        ready.sort()
+    if len(out) != len(tables):
+        cyclic = sorted(t for t, d in deps.items() if d and t not in out)
+        raise ValueError(f"referential cycle among tables: {cyclic}")
+    return out
+
+
+def jdbc_multitable(
+    spark: SparkSession,
+    url: str,
+    table_configs: list[dict],
+    offsets: dict[str, object] | None = None,
+    fk_edges: list[tuple[str, str]] | None = None,
+    order: str = "NONE",
+    properties: dict[str, str] | None = None,
+) -> list[tuple[str, DataFrame]]:
+    """JDBC Multitable origin (TableJdbcSource.java:141-161): N tables with
+    per-table offset columns and partitioned reads, returned in the
+    configured order (NONE | ALPHABETICAL | REFERENTIAL_CONSTRAINTS).
+
+    Each config: {"table": str, "offset_column": str|None,
+    "partition_column": str|None, "lower_bound", "upper_bound",
+    "num_partitions": int}. ``offsets`` maps table -> last committed offset
+    (the reference's per-table offset map, stored in the pipeline offset
+    file; here the caller persists it — our streaming-checkpoint analog).
+    The reference's numberOfThreads knob disappears: Spark executors run
+    the per-table partition ranges concurrently."""
+    names = [c["table"] for c in table_configs]
+    if order == "ALPHABETICAL":
+        ordered = sorted(names)
+    elif order == "REFERENTIAL_CONSTRAINTS":
+        ordered = topological_table_order(names, fk_edges or [])
+    elif order == "NONE":
+        ordered = names
+    else:
+        raise ValueError(f"unknown table order strategy: {order}")
+    by_name = {c["table"]: c for c in table_configs}
+    out: list[tuple[str, DataFrame]] = []
+    for name in ordered:
+        cfg = by_name[name]
+        if cfg.get("partition_column"):
+            df = jdbc_partitioned_table(
+                spark,
+                url,
+                name,
+                cfg["partition_column"],
+                cfg["lower_bound"],
+                cfg["upper_bound"],
+                cfg.get("num_partitions", 4),
+                properties,
+            )
+        else:
+            df = jdbc_query(spark, url, name, properties=properties)
+        off_col = cfg.get("offset_column")
+        if off_col and offsets and offsets.get(name) is not None:
+            df = df.where(df[off_col] > offsets[name])  # pushed to the DB
+        out.append((name, df))
+    return out
+
+
 def jdbc_partitioned_table(
     spark: SparkSession,
     url: str,

@@ -93,6 +93,8 @@ class CdcIngestPipeline:
         expire_keep: int | None = None,
         merge_mode: str = "cow",
         mor_compact_every: int | None = None,
+        dedup_within: str | None = None,
+        dedup_fields: list[str] | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -130,6 +132,16 @@ class CdcIngestPipeline:
         # the 10^10-scale ingest shape (see LakeTable.merge docstring)
         self.merge_mode = merge_mode
         self.mor_compact_every = mor_compact_every
+        # Streaming dedup window (DeDupProcessor.java:122-143's time window):
+        # duplicate deliveries of the same (lsn, seq_in_tx) are dropped
+        # ACROSS micro-batches while their event time is within
+        # ``dedup_within`` of the stream's watermark — Spark keeps the seen
+        # keys in checkpointed state and expires them with the watermark, so
+        # state is bounded (the reference's maxRecordsToCompare analog).
+        # In-batch duplicates are collapsed by lww_collapse regardless; the
+        # LSN guard at the table catches anything beyond the window.
+        self.dedup_within = dedup_within
+        self.dedup_fields = dedup_fields or ["lsn", "seq_in_tx"]
         # Commit keys are namespaced by the checkpoint identity: stable
         # across RESTARTS of the same stream (exactly-once replay dedupe),
         # distinct across DIFFERENT streams into the same table.
@@ -138,13 +150,52 @@ class CdcIngestPipeline:
         self.stream_id = hashlib.sha1(
             checkpoint_dir.rstrip("/").encode()
         ).hexdigest()[:12]
+        # The late-record high-water mark is durable: real Structured
+        # Streaming watermarks are checkpointed, so ours lives next to the
+        # checkpoint and is restored on restart — otherwise a restart would
+        # silently merge arbitrarily late records.
+        self._watermark = self._load_watermark()
+
+    # --------------------------------------------------- watermark durability
+    def _watermark_path(self) -> str:
+        import os
+
+        return os.path.join(self.checkpoint_dir, "dcs_watermark.json")
+
+    def _load_watermark(self):
+        import datetime as _dt
+        import json
+        import os
+
+        try:
+            with open(self._watermark_path()) as f:
+                raw = json.load(f)["watermark"]
+            return _dt.datetime.fromisoformat(raw)
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def _save_watermark(self) -> None:
+        import json
+        import os
+
+        if self._watermark is None:
+            return
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = self._watermark_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": self._watermark.isoformat()}, f)
+        os.replace(tmp, self._watermark_path())
 
     # ------------------------------------------------------------ plumbing
     def _read_stream(self) -> DataFrame:
         reader = self.spark.readStream.schema(self.source_schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        return reader.parquet(self.source_dir)
+        df = reader.parquet(self.source_dir)
+        if self.dedup_within is not None:
+            df = df.withWatermark("commit_ts", self.dedup_within)
+            df = df.dropDuplicatesWithinWatermark(self.dedup_fields)
+        return df
 
     def _write_lineage(self, rows: list[dict], flush: bool = False) -> None:
         if not self.lineage_dir:
@@ -208,7 +259,7 @@ class CdcIngestPipeline:
         # ---- late-record policy: Structured-Streaming watermark semantics
         # (threshold = max event time seen in PRIOR batches minus limit);
         # late rows go to the side output, on-time rows continue
-        watermark = getattr(self, "_watermark", None)
+        watermark = self._watermark
         if self.late_limit_s is not None and watermark is not None:
             late = df.where(F.col("commit_ts") < F.lit(watermark))
             if self.late_dir:
@@ -253,8 +304,9 @@ class CdcIngestPipeline:
                 import datetime as _dt
 
                 cand = max_ts - _dt.timedelta(seconds=self.late_limit_s)
-                prev = getattr(self, "_watermark", None)
+                prev = self._watermark
                 self._watermark = max(prev, cand) if prev else cand
+                self._save_watermark()
             for i, rule in enumerate(self.data_rules):
                 n = int(m.get(f"_rule_{i}") or 0)
                 if n >= rule.min_count:

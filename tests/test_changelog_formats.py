@@ -32,7 +32,7 @@ def test_decode_mysql_binlog(spark):
     out = decode_mysql_binlog(df, "raw")
     row = out.first()
     assert row["op"] == OP_UPDATE
-    assert row["lsn"] == (7 << 40) + 12345
+    assert row["lsn"] == (7 << 32) + 12345
     assert row["seq_in_tx"] == 2 and row["server_id"] == 3
     typed = project_transcript_payload(out).first()
     assert typed["conv_id"] == "c1" and typed["turn_idx"] == 4
