@@ -192,9 +192,9 @@ def _simhash_oracle(max_hamming=3, chunks=4, bits=60) -> str:
     """
 
 
-def _ann_lsh_oracle(dim=64, planes=6, k=5) -> str:
-    """DuckDB twin of similarity.lsh_ann_topk: same md5-seeded hyperplane
-    literals, same left-assoc double dot product for the sign buckets."""
+def _bucket_sql(dim: int, planes: int) -> str:
+    """Sign-bucket expression shared by the LSH oracles: same md5-seeded
+    hyperplane literals, same left-assoc double dot product as Spark."""
     from datacollector_spark.operators.similarity import _hyperplane
 
     def dot_expr(plane: int) -> str:
@@ -203,10 +203,38 @@ def _ann_lsh_oracle(dim=64, planes=6, k=5) -> str:
             f"CAST(embedding[{d + 1}] AS DOUBLE) * {w[d]!r}" for d in range(dim)
         )
 
-    bucket = " + ".join(
+    return " + ".join(
         f"CASE WHEN ({dot_expr(p)}) > 0 THEN {1 << p} ELSE 0 END"
         for p in range(planes)
     )
+
+
+def _embedding_neardup_oracle(dim=64, planes=6, threshold=0.95) -> str:
+    """DuckDB twin of similarity.embedding_near_dup_pairs over the corpus
+    with planted x2-scaled duplicates."""
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding, x -> x * CAST(2.0 AS REAL))
+          FROM embeddings),
+        b AS (
+          SELECT vec_id, embedding, ({_bucket_sql(dim, planes)}) AS bucket
+          FROM corpus)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6)
+                 AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def _ann_lsh_oracle(dim=64, planes=6, k=5) -> str:
+    """DuckDB twin of similarity.lsh_ann_topk."""
+    bucket = _bucket_sql(dim, planes)
     probes = ", ".join(f"({m})" for m in [0] + [1 << p for p in range(planes)])
     return f"""
         WITH b AS (
@@ -755,6 +783,26 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup detection over a corpus with PLANTED duplicates:
+    each vector also appears x2-scaled under vec_id+100000 (cosine is scale
+    invariant, and scaling by 2 commutes with fp rounding, so the planted
+    pair is bit-identical in both engines). The LSH bucket self-join must
+    recover exactly the planted pairs."""
+    from datacollector_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(dup), dim=64, threshold=0.95, planes=6
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from datacollector_spark.operators.similarity import cosine_topk
 
@@ -875,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1192,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min({_MD5LONG.format(x='s')}) AS fp
             FROM shingles GROUP BY doc_id
         """,
+        "dedup_embedding_cosine": _embedding_neardup_oracle(dim=64, planes=6, threshold=0.95),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4),
         "dedup_simhash": _simhash_oracle(max_hamming=3, chunks=4),
         "ann_lsh_topk": _ann_lsh_oracle(dim=64, planes=6, k=5),

@@ -151,11 +151,26 @@ def field_merger(df: DataFrame, into: str, columns: Sequence[str]) -> DataFrame:
     return df.withColumn(into, F.struct(*[F.col(c) for c in columns]))
 
 
-def field_flattener(df: DataFrame, column: str, separator: str = "_") -> DataFrame:
-    """Flatten one struct level with a name separator —
-    fieldflattener/FieldFlattenerProcessor.java."""
-    names = [f.name for f in df.schema[column].dataType.fields]
-    flat = [F.col(f"{column}.{n}").alias(f"{column}{separator}{n}") for n in names]
+def field_flattener(
+    df: DataFrame, column: str, separator: str = "_", recursive: bool = False
+) -> DataFrame:
+    """Flatten a struct column with a name separator —
+    fieldflattener/FieldFlattenerProcessor.java. ``recursive`` flattens
+    nested structs all the way down (the XML-record flatten-entire-record
+    mode): a/b/c becomes a_b_c; non-struct leaves are left as-is."""
+    from pyspark.sql import types as T
+
+    def leaves(prefix: str, dtype) -> list:
+        out = []
+        for f_ in dtype.fields:
+            path, name = f"{prefix}.{f_.name}", f"{prefix.replace('.', separator)}{separator}{f_.name}"
+            if recursive and isinstance(f_.dataType, T.StructType):
+                out.extend(leaves(path, f_.dataType))
+            else:
+                out.append(F.col(path).alias(name))
+        return out
+
+    flat = leaves(column, df.schema[column].dataType)
     return df.select(*[c for c in df.columns if c != column], *flat)
 
 

@@ -44,6 +44,41 @@ def spool_dir_stream(
     return df
 
 
+def file_tail_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    rolled_pattern: str = "*",
+    file_format: str = "text",
+    max_files_per_trigger: int | None = None,
+    max_file_age: str | None = None,
+    **format_options,
+) -> DataFrame:
+    """File Tail origin with rolling patterns (basic-lib/.../origin/
+    filetail/FileTailSource.java): tail a log that rotates through archived
+    names (app.log -> app.log.1 / app.log.2025-01-01 ...).
+
+    Spark mapping: the file stream source tails the DIRECTORY; the rolled
+    pattern becomes ``pathGlobFilter`` so only rotated (complete, immutable)
+    files enter the stream — the correct at-scale semantics, because a file
+    handed to a distributed reader must not be mid-append (the reference
+    tails the live file byte-wise from one process; a cluster cannot).
+    The live file's tail is picked up when it rotates; ``max_file_age``
+    bounds how far back the first run reads (spooler's initial-file analog).
+    Every row carries ``_source_file`` + ``_line_offset`` header analogs
+    when the format is 'text'."""
+    reader = spark.readStream.schema(schema)
+    reader = reader.option("pathGlobFilter", rolled_pattern)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_file_age is not None:
+        reader = reader.option("maxFileAge", max_file_age)
+    for k, v in format_options.items():
+        reader = reader.option(k, v)
+    df = reader.format(file_format).load(path)
+    return df.withColumn("_source_file", F.input_file_name())
+
+
 def spool_dir_batch(
     spark: SparkSession,
     path: str,

@@ -95,6 +95,7 @@ class CdcIngestPipeline:
         mor_compact_every: int | None = None,
         dedup_within: str | None = None,
         dedup_fields: list[str] | None = None,
+        file_events_dir: str | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -142,6 +143,13 @@ class CdcIngestPipeline:
         # LSN guard at the table catches anything beyond the window.
         self.dedup_within = dedup_within
         self.dedup_fields = dedup_fields or ["lsn", "seq_in_tx"]
+        # Stage lifecycle event records (EventCreator.java:45 — the spooler
+        # emits new-file / finished-file events): per micro-batch, the set
+        # of source files is captured by the SAME CollectMetrics node as the
+        # data rules (no extra pass); each file yields a new-file event when
+        # first seen and a finished-file event when its batch commits (file
+        # sources deliver a file in exactly one micro-batch).
+        self.file_events_dir = file_events_dir
         # Commit keys are namespaced by the checkpoint identity: stable
         # across RESTARTS of the same stream (exactly-once replay dedupe),
         # distinct across DIFFERENT streams into the same table.
@@ -243,7 +251,7 @@ class CdcIngestPipeline:
         # CollectMetrics node evaluated inside the collapse job (no extra
         # pass; only attached when a feature needs it)
         obs = None
-        if self.data_rules or self.late_limit_s is not None:
+        if self.data_rules or self.late_limit_s is not None or self.file_events_dir:
             from pyspark.sql import Observation
 
             metrics = [F.max("commit_ts").alias("_max_ts")]
@@ -253,8 +261,15 @@ class CdcIngestPipeline:
                         F.when(F.expr(rule.condition), 1).otherwise(0)
                     ).alias(f"_rule_{i}")
                 )
+            if self.file_events_dir:
+                # input_file_name is nondeterministic — illegal directly
+                # inside CollectMetrics; project it, aggregate the column
+                df = df.withColumn("_source_file", F.input_file_name())
+                metrics.append(F.collect_set("_source_file").alias("_files"))
             obs = Observation(f"rules-{batch_id}")
             df = df.observe(obs, *metrics)
+            if self.file_events_dir:
+                df = df.drop("_source_file")
 
         # ---- late-record policy: Structured-Streaming watermark semantics
         # (threshold = max event time seen in PRIOR batches minus limit);
@@ -318,6 +333,15 @@ class CdcIngestPipeline:
                             "count": n,
                         }
                     )
+            if self.file_events_dir and m.get("_files"):
+                rows = [
+                    (batch_id, f, ev)
+                    for f in sorted(m["_files"])
+                    for ev in ("new-file", "finished-file")
+                ]
+                self.spark.createDataFrame(
+                    rows, "batch_id long, file string, event string"
+                ).coalesce(1).write.mode("append").parquet(self.file_events_dir)
 
         per_bucket: list[dict] = []
         if self.per_bucket_lineage:

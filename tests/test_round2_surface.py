@@ -1,0 +1,114 @@
+"""Round-2 surface additions: file-tail rolling patterns, file lifecycle
+events, recursive flattener, planted-duplicate embedding dedup."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacollector_spark.lake import LakeTable
+from datacollector_spark.model import KEY_COLUMNS, transcripts_schema
+
+
+def test_file_tail_rolling_pattern(spark, tmp_path):
+    """Only files matching the rolled pattern enter the stream; the live
+    (still-appended) file is excluded until it rotates."""
+    from datacollector_spark.sources.spooldir import file_tail_stream
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    (logdir / "app.log").write_text("live-line\n")  # live file: excluded
+    (logdir / "app.log.1").write_text("rolled-a\nrolled-b\n")
+    (logdir / "app.log.2").write_text("rolled-c\n")
+
+    stream = file_tail_stream(
+        spark,
+        str(logdir),
+        T.StructType([T.StructField("value", T.StringType())]),
+        rolled_pattern="app.log.*",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    lines = {r["value"] for r in got.collect()}
+    assert lines == {"rolled-a", "rolled-b", "rolled-c"}
+    files = {os.path.basename(r["_source_file"]) for r in got.collect()}
+    assert files == {"app.log.1", "app.log.2"}
+
+
+def test_file_lifecycle_events(spark, tmp_path):
+    """Per-file new-file/finished-file event records (EventCreator analog)."""
+    from datacollector_spark.model import changelog_schema
+    from datacollector_spark.streaming import CdcIngestPipeline
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    seg = str(tmp_path / "seg")
+
+    def row(lsn):
+        return (
+            1, lsn, 0, "t", 1, ts, "c1", int(lsn), "user", "x", None, ts,
+            None, None, None, None,
+        )
+
+    sch = changelog_schema()
+    spark.createDataFrame([row(1)], sch).coalesce(1).write.mode("append").parquet(seg)
+    spark.createDataFrame([row(2)], sch).coalesce(1).write.mode("append").parquet(seg)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), transcripts_schema(), KEY_COLUMNS, num_buckets=2
+    )
+    events_dir = str(tmp_path / "events")
+    pipe = CdcIngestPipeline(
+        spark,
+        seg,
+        table,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        file_events_dir=events_dir,
+    )
+    pipe.run_available_now(timeout_s=300)
+    ev = spark.read.parquet(events_dir).toPandas()
+    assert set(ev["event"]) == {"new-file", "finished-file"}
+    assert ev["file"].nunique() == 2  # one pair per source file
+    assert len(ev) == 4
+    assert ev["batch_id"].nunique() == 2
+
+
+def test_field_flattener_recursive(spark):
+    from datacollector_spark.operators.processors import field_flattener
+
+    df = spark.createDataFrame(
+        [(1, (("x", 2), "y"))],
+        "id int, r struct<a: struct<b: string, c: int>, d: string>",
+    )
+    flat = field_flattener(df, "r", recursive=True)
+    assert set(flat.columns) == {"id", "r_a_b", "r_a_c", "r_d"}
+    row = flat.first()
+    assert row["r_a_b"] == "x" and row["r_a_c"] == 2 and row["r_d"] == "y"
+    # one-level mode unchanged
+    one = field_flattener(df, "r")
+    assert set(one.columns) == {"id", "r_a", "r_d"}
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    from datacollector_spark.operators.similarity import embedding_near_dup_pairs
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = [(i, rng.randn(8).astype("float32").tolist()) for i in range(20)]
+    planted = [(i + 1000, [x * 2.0 for x in v]) for i, v in base[:5]]
+    df = spark.createDataFrame(base + planted, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, dim=8, threshold=0.95, planes=4).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert {(i, i + 1000) for i in range(5)} <= got

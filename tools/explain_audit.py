@@ -117,6 +117,52 @@ def main() -> None:
         )
     )
 
+    # 6) global top-k: TakeOrderedAndProject (per-partition partial top-k),
+    # never a single-partition global window over the aggregate
+    p = plan_of(qs["tpch_top_orders"](spark, sf_dir))
+    checks.append(
+        (
+            "global top-k (tpch_top_orders)",
+            p,
+            [
+                ("TakeOrderedAndProject planned", "TakeOrderedAndProject" in p),
+                (
+                    "no single-partition exchange before the top-k",
+                    "Exchange SinglePartition" not in p.split("TakeOrderedAndProject")[0],
+                ),
+            ],
+        )
+    )
+
+    # 7) minhash LSH: id-only band shuffle — no document content (text or
+    # shingle arrays) in the exchange that feeds the bucket aggregation.
+    # formatted explain lists each node's detail as
+    #   (N) Exchange\nInput [k]: [cols]\nArguments: hashpartitioning(keys)
+    import re
+
+    p = plan_of(qs["dedup_minhash_lsh"](spark, sf_dir))
+    band_blocks = [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning\(_band",
+            p,
+        )
+    ]
+    checks.append(
+        (
+            "minhash LSH band shuffle",
+            p,
+            [
+                ("band-keyed exchange present", len(band_blocks) >= 1),
+                (
+                    "no shingle arrays through the band shuffle",
+                    bool(band_blocks) and all("_sh" not in b for b in band_blocks),
+                ),
+                ("no python eval", "Python" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
