@@ -110,10 +110,14 @@ class MergeResult:
     # per-bucket source stats (offsets applied per partition) — computed in
     # the same job that discovers touched buckets, free for lineage
     bucket_stats: list[dict] = field(default_factory=list)
+    # per-phase wall times (stats job / write job / obs / manifest) — the
+    # reference's per-stage batch timers (ProductionPipelineRunner.java:723)
+    phase_timings: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         d = dict(self.__dict__)
         d.pop("bucket_stats", None)  # kept out of the manifest (size)
+        d.pop("phase_timings", None)
         return d
 
 
@@ -373,10 +377,12 @@ class LakeTable:
         import os as _os, time as _time
         _dbg = _os.environ.get("DCS_MERGE_DEBUG") == "1"
         _t = _time.time()
+        _timings: dict[str, float] = {}
         def _mark(label):
             nonlocal _t
+            _timings[label] = round(_time.time() - _t, 3)
             if _dbg:
-                print(f"[merge-debug] {label}: {_time.time()-_t:.2f}s", flush=True)
+                print(f"[merge-debug] {label}: {_timings[label]:.2f}s", flush=True)
             _t = _time.time()
         if commit_key is not None and self.committed(commit_key):
             return MergeResult(
@@ -500,6 +506,7 @@ class LakeTable:
                 max_lsn=max(b_["max_lsn"] for b_ in bucket_stats),
                 evolved_columns=evolved,
                 bucket_stats=bucket_stats,
+                phase_timings=_timings,
             )
             manifest = dict(self._manifest)
             manifest["version"] = new_version
@@ -647,6 +654,7 @@ class LakeTable:
             max_lsn=max(b["max_lsn"] for b in bucket_stats),
             evolved_columns=evolved,
             bucket_stats=bucket_stats,
+            phase_timings=_timings,
         )
         manifest = dict(self._manifest)
         manifest["version"] = new_version

@@ -394,3 +394,74 @@ def scripting_processor(
             yield func(pdf)
 
     return df.mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------- external-I/O archetypes
+def http_client_processor(
+    df: DataFrame,
+    url_column: str,
+    response_column: str = "http_response",
+    transport: Callable[[list[str]], list[str]] | None = None,
+    batch_size: int = 100,
+) -> DataFrame:
+    """HTTP Client processor archetype (basic-lib/.../processor/http/
+    HttpProcessor.java): per-record GET enriching the record with the
+    response body.
+
+    Scale shape: the calls run inside mapInPandas — one Arrow batch at a
+    time per partition, so concurrency = partitions and the in-flight
+    request count is bounded by ``batch_size`` (the reference's
+    maxRequestCompletionSecs/parallelism analog). ``transport`` takes a
+    list of URLs and returns a list of response bodies; inject a real
+    client (requests.Session with retries) in production — this sandbox
+    has no network, so the default transport raises with a clear message.
+    Injectability keeps the operator fully testable offline.
+    """
+
+    def default_transport(urls: list[str]) -> list[str]:
+        raise RuntimeError(
+            "http_client_processor needs a transport (no network in this "
+            "environment); inject transport=lambda urls: [...]"
+        )
+
+    fn = transport or default_transport
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(response_column, T.StringType(), True)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            responses: list[str] = []
+            urls = pdf[url_column].tolist()
+            for i in range(0, len(urls), batch_size):
+                responses.extend(fn(urls[i : i + batch_size]))
+            out[response_column] = responses
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def jdbc_tee(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+):
+    """JDBC Tee archetype (jdbc-lib/.../processor/jdbctee/JdbcTeeDProcessor
+    .java): write the batch to a database table AND pass it through.
+
+    Returns (passthrough_df, configured_writer); the caller invokes
+    ``writer.save()`` where a JDBC driver exists (foreachBatch in
+    streaming). Returning the writer rather than saving keeps the tee
+    option-wiring testable without a database, like sources/jdbc.py."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    return df, writer

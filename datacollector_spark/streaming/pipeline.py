@@ -51,6 +51,11 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("noop", T.BooleanType()),
         T.StructField("evolved_columns", T.ArrayType(T.StringType())),
         T.StructField("wall_s", T.DoubleType()),
+        # per-stage timers (ProductionPipelineRunner.java:723-745 batch
+        # processing timer, split by merge phase)
+        T.StructField(
+            "phase_timings", T.MapType(T.StringType(), T.DoubleType()), True
+        ),
     ]
 )
 
@@ -369,6 +374,7 @@ class CdcIngestPipeline:
             "noop": res.noop,
             "evolved_columns": res.evolved_columns,
             "wall_s": time.time() - t0,
+            "phase_timings": res.phase_timings or None,
         }
         for row in per_bucket:
             row["table_version"] = res.version
