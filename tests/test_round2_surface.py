@@ -172,3 +172,83 @@ def test_merge_phase_timings_in_lineage(spark, tmp_path):
     res = table.merge(src, commit_key="k-0")
     assert {"stats_job", "write_job", "manifest"} <= set(res.phase_timings)
     assert all(v >= 0 for v in res.phase_timings.values())
+
+
+def test_multitable_cdc_routes_and_merges(spark, tmp_path):
+    """One changelog stream carrying two tables -> two LakeTables, each
+    with its own keys; per-table exactly-once on re-run."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from datacollector_spark.streaming import MultiTableCdcPipeline
+
+    sch = T.StructType(
+        [
+            T.StructField("op", T.IntegerType(), False),
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("seq_in_tx", T.IntegerType(), False),
+            T.StructField("src_table", T.StringType(), False),
+            T.StructField("conv_id", T.StringType(), True),
+            T.StructField("turn_idx", T.IntegerType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("metric_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    rows = [
+        (1, 1, 0, "transcripts", "c1", 0, "hello", None, None),
+        (3, 2, 0, "transcripts", "c1", 0, "hello v2", None, None),
+        (1, 3, 0, "metrics", None, None, None, 7, 1.5),
+        (2, 4, 0, "metrics", None, None, None, 7, None),  # delete
+        (1, 5, 0, "metrics", None, None, None, 8, 2.5),
+    ]
+    seg = str(tmp_path / "seg")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(seg)
+
+    t_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    m_schema = T.StructType(
+        [
+            T.StructField("metric_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    t_tab = LakeTable.create(
+        spark, str(tmp_path / "t"), t_schema, ["conv_id", "turn_idx"], num_buckets=2
+    )
+    m_tab = LakeTable.create(
+        spark, str(tmp_path / "m"), m_schema, ["metric_id"], num_buckets=2
+    )
+
+    def proj_t(df):
+        return df.select("op", "lsn", "seq_in_tx", "conv_id", "turn_idx", "text")
+
+    def proj_m(df):
+        return df.select("op", "lsn", "seq_in_tx", "metric_id", "value")
+
+    def mk():
+        return MultiTableCdcPipeline(
+            spark,
+            seg,
+            {
+                "transcripts": {"table": t_tab, "project": proj_t},
+                "metrics": {"table": m_tab, "project": proj_m},
+            },
+            str(tmp_path / "ckpt"),
+            sch,
+        )
+
+    mk().run_available_now(timeout_s=300)
+    assert [r["text"] for r in t_tab.read().collect()] == ["hello v2"]
+    m_rows = {r["metric_id"]: r["value"] for r in m_tab.read().collect()}
+    assert m_rows == {8: 2.5}  # metric 7 deleted
+    # replay: a fresh run over the same checkpoint is a per-table no-op
+    v_t, v_m = t_tab.version, m_tab.version
+    mk().run_available_now(timeout_s=300)
+    assert (t_tab.version, m_tab.version) == (v_t, v_m)
