@@ -227,3 +227,35 @@ def test_continuous_trigger_tails_new_segments(spark, tmp_path):
         assert table.refresh().read().count() > n1
     finally:
         q.stop()
+
+
+def test_kill_restart_exactly_once_mor(spark, seg_data, tmp_path):
+    """Same crash window as test_kill_restart_exactly_once but in
+    merge-on-read mode: a replayed delta APPEND would double rows if the
+    commit key failed, and the read-side LWW must still resolve the final
+    state; compaction afterwards must not change it."""
+    src, oracle, _ = seg_data
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), transcripts_schema(), KEY_COLUMNS, num_buckets=8
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def bomb(pipe, batch_id):
+        if pipe.batches_applied == 2:
+            raise _Boom("injected crash after commit, before checkpoint")
+
+    pipe = CdcIngestPipeline(
+        spark, src, table, ckpt, max_files_per_trigger=3, merge_mode="mor"
+    )
+    pipe.on_batch_applied = bomb
+    with pytest.raises(Exception):
+        pipe.run_available_now(timeout_s=300)
+
+    pipe2 = CdcIngestPipeline(
+        spark, src, table.refresh(), ckpt, max_files_per_trigger=3, merge_mode="mor"
+    )
+    pipe2.run_available_now(timeout_s=300)
+    assert_frame_equal(_final(table.refresh()), oracle, check_dtype=False)
+    table.compact_deltas()
+    assert table.delta_file_count() == 0
+    assert_frame_equal(_final(table), oracle, check_dtype=False)

@@ -163,6 +163,20 @@ def main() -> None:
         )
     )
 
+    # 8) embedding near-dup: LSH bucket EQUI-join — never a cross product
+    p = plan_of(qs["dedup_embedding_cosine"](spark, sf_dir))
+    checks.append(
+        (
+            "embedding near-dup join strategy",
+            p,
+            [
+                ("no cartesian product", "CartesianProduct" not in p),
+                ("no nested-loop join", "BroadcastNestedLoopJoin" not in p),
+                ("bucket equi-join", "hashpartitioning(bucket" in p or "BroadcastHashJoin" in p or "hashpartitioning(_b" in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
