@@ -253,8 +253,12 @@ def _run_scaling_leg(
     # the first full rep pays codegen/JIT/shuffle-infra growth that a small
     # slice does not reach (measured: first timed rep 1.5-4x slower than
     # steady even after a 1/16-slice warmup), and that bias hits the short
-    # high-core leg hardest
-    table.merge(transcript_transforms(lww_collapse(raw)), commit_key="warm")
+    # high-core leg hardest. Same merge mode as the timed reps.
+    table.merge(
+        transcript_transforms(lww_collapse(raw)), commit_key="warm", mode=merge_mode
+    )
+    if merge_mode == "mor":
+        table.compact_deltas()
     table.expire_snapshots(keep_last=1)
     walls, probes = [], []
     for i in range(reps):

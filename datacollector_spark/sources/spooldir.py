@@ -79,6 +79,29 @@ def file_tail_stream(
     return df.withColumn("_source_file", F.input_file_name())
 
 
+def whole_file_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """WHOLE_FILE data format (commonlib/.../config/DataFormat.java:29-39;
+    SpoolDir/SFTP whole-file transfer): each record is one complete file —
+    opaque bytes + file metadata, never parsed. Spark's binaryFile source is
+    exactly this record shape: (path, modificationTime, length, content)."""
+    reader = spark.readStream.format("binaryFile").option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def whole_file_batch(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Bounded whole-file read (preview/backfill of the same layout)."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
 def spool_dir_batch(
     spark: SparkSession,
     path: str,

@@ -102,3 +102,52 @@ def test_jdbc_reader_option_wiring(spark):
             properties={"driver": "org.postgresql.NoSuchDriver"},
         )
     assert "NoSuchDriver" in str(ei.value)
+
+
+def test_parse_netflow_v5(spark):
+    """Synthetic NetFlow v5 datagrams (struct.pack ground truth): 2 flows in
+    one datagram + a malformed datagram that must be discarded."""
+    import struct
+
+    from datacollector_spark.sources.formats import parse_netflow_v5
+
+    def flow(src, dst, pkts, octets, sport, dport, proto, flags):
+        return struct.pack(
+            ">IIIHHIIIIHHBBBBHHBBH",
+            src, dst, 0, 1, 2, pkts, octets, 100, 200,
+            sport, dport, 0, flags, proto, 0, 65001, 65002, 24, 24, 0,
+        )
+
+    def ip(a, b, c, d):
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    header = struct.pack(
+        ">HHIIIIBBH", 5, 2, 12345, 1735732800, 0, 777, 0, 9, 0
+    )
+    dgram = header + flow(
+        ip(10, 0, 0, 1), ip(192, 168, 1, 2), 7, 4200, 443, 55000, 6, 0x18
+    ) + flow(ip(10, 0, 0, 3), ip(8, 8, 8, 8), 1, 76, 53, 41000, 17, 0)
+    bad = b"\x00\x09" + b"\x00" * 30  # version 9: discarded
+
+    df = spark.createDataFrame([(dgram,), (bad,)], "payload binary")
+    got = parse_netflow_v5(df).orderBy("srcport").collect()
+    assert len(got) == 2
+    dns, https = got
+    assert https.srcaddr == "10.0.0.1" and https.dstaddr == "192.168.1.2"
+    assert https.packets == 7 and https.octets == 4200
+    assert https.srcport == 443 and https.proto == 6 and https.tcp_flags == 0x18
+    assert dns.srcport == 53 and dns.proto == 17
+    assert https.flow_sequence == 777 and https.unix_secs == 1735732800
+    assert https.engine_id == 9
+
+
+def test_whole_file_batch_and_stream(spark, tmp_path):
+    from datacollector_spark.sources.spooldir import whole_file_batch
+
+    (tmp_path / "a.bin").write_bytes(b"\x01\x02\x03")
+    (tmp_path / "b.bin").write_bytes(b"hello")
+    (tmp_path / "skip.txt").write_text("no")
+    got = whole_file_batch(spark, str(tmp_path), glob="*.bin").orderBy("length")
+    rows = got.collect()
+    assert [bytes(r["content"]) for r in rows] == [b"\x01\x02\x03", b"hello"]
+    assert rows[0]["path"].endswith("a.bin") and rows[0]["length"] == 3
