@@ -79,6 +79,32 @@ def file_tail_stream(
     return df.withColumn("_source_file", F.input_file_name())
 
 
+def tcp_socket_origin(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    include_timestamp: bool = False,
+) -> DataFrame:
+    """TCP text-stream origin (basic-lib/.../origin/tcp/TCPServerSource.java
+    shape): newline-delimited records over a socket. Spark's socket source
+    is the exact operator — each line becomes a row in `value`; parse with
+    sources/formats (JSON/CSV/LOG) in the same projection.
+
+    Direction note: the reference LISTENS (server); Spark's source CONNECTS
+    (client) — in production the listener is a lightweight relay or the
+    sender exposes a socket. Development/testing source per Spark docs; at
+    scale the durable path is Kafka (sources/kafka.py) — sockets have no
+    replay."""
+    reader = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+    )
+    if include_timestamp:
+        reader = reader.option("includeTimestamp", "true")
+    return reader.load()
+
+
 def whole_file_stream(
     spark: SparkSession,
     path: str,

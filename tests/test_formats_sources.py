@@ -151,3 +151,51 @@ def test_whole_file_batch_and_stream(spark, tmp_path):
     rows = got.collect()
     assert [bytes(r["content"]) for r in rows] == [b"\x01\x02\x03", b"hello"]
     assert rows[0]["path"].endswith("a.bin") and rows[0]["length"] == 3
+
+
+def test_tcp_socket_origin(spark, tmp_path):
+    """Live socket origin: a local TCP server emits newline records; the
+    stream must deliver them as rows (SDC TCP source shape)."""
+    import socket
+    import threading
+    import time as _time
+
+    from datacollector_spark.sources.spooldir import tcp_socket_origin
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(b"alpha\nbeta\ngamma\n")
+            _time.sleep(8)  # keep the connection open while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out = str(tmp_path / "out")
+    q = (
+        tcp_socket_origin(spark, "127.0.0.1", port)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        rows = set()
+        while _time.time() < deadline and len(rows) < 3:
+            _time.sleep(1)
+            try:
+                rows = {r["value"] for r in spark.read.parquet(out).collect()}
+            except Exception:
+                pass
+        assert rows == {"alpha", "beta", "gamma"}
+    finally:
+        q.stop()
+        srv.close()
