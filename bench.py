@@ -49,7 +49,7 @@ SCALE_HIGH = int(os.environ.get("DCS_BENCH_HIGH_CPUS", str(SCALE_LOW * 4)))
 SCALE_REPS = int(os.environ.get("DCS_BENCH_SCALE_REPS", "2"))
 # the short high-core leg is the noise-vulnerable one: one extra rep there
 # costs ~25 s and materially improves its min estimate
-SCALE_REPS_HIGH = int(os.environ.get("DCS_BENCH_SCALE_REPS_HIGH", str(SCALE_REPS + 1)))
+SCALE_REPS_HIGH = int(os.environ.get("DCS_BENCH_SCALE_REPS_HIGH", str(SCALE_REPS + 2)))
 SCALE_ROUNDS = int(os.environ.get("DCS_BENCH_SCALE_ROUNDS", "2"))
 # Scaling legs use a LARGER input than the streaming leg: the per-merge
 # fixed cost (~2-4 s: job scheduling, python-worker pool, 32-file write,
@@ -216,12 +216,30 @@ def _burn(n: int) -> int:
 
 def _noise_probe() -> float:
     """Fixed single-thread CPU task (~0.2 s quiet); its wall time is direct
-    evidence of host contention in the surrounding measurement window."""
+    evidence of host CPU contention in the surrounding measurement window."""
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):
         acc += i * i
     return round(time.perf_counter() - t0, 3)
+
+
+def _bandwidth_probe() -> float:
+    """Memory-copy throughput in GB/s (512 MB numpy copy). A neighbor VM
+    saturating the memory bus slows wide (8-core) Spark stages while leaving
+    the single-thread CPU probe untouched — measured: quiet CPU probes with
+    high-leg walls 15-25 s vs the 12-13 s floor. This probe makes that
+    failure mode visible in the recorded evidence."""
+    import numpy as np
+
+    src = np.ones(64_000_000, dtype=np.int64)  # 512 MB, pages faulted in
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm: maps dst pages outside the timed window
+    t0 = time.perf_counter()
+    np.copyto(dst, src)
+    dt = time.perf_counter() - t0
+    del src, dst
+    return round(1.0 / dt, 2)  # 0.5 GB read + 0.5 GB write => GB/s
 
 
 def _run_scaling_leg(
@@ -260,9 +278,10 @@ def _run_scaling_leg(
     if merge_mode == "mor":
         table.compact_deltas()
     table.expire_snapshots(keep_last=1)
-    walls, probes = [], []
+    walls, probes, bw_probes = [], [], []
     for i in range(reps):
         probes.append(_noise_probe())
+        bw_probes.append(_bandwidth_probe())
         c = transcript_transforms(lww_collapse(raw))
         t0 = _time.time()
         table.merge(c, commit_key=f"rep-{i}", mode=merge_mode)
@@ -276,6 +295,7 @@ def _run_scaling_leg(
         "mode": merge_mode,
         "walls": walls,
         "noise_probe_s": probes,
+        "membw_probe_gbps": bw_probes,
         "min_wall_s": min(walls),
     }
 
@@ -392,13 +412,17 @@ def main() -> None:
         walls_low: list[float] = []
         probes_high: list[float] = []
         probes_low: list[float] = []
+        bw_high: list[float] = []
+        bw_low: list[float] = []
         for _ in range(SCALE_ROUNDS):
             s_high = _spawn_leg(SCALE_HIGH, scale_seg_dir, "scale")
             walls_high += s_high["walls"]
             probes_high += s_high["noise_probe_s"]
+            bw_high += s_high["membw_probe_gbps"]
             s_low = _spawn_leg(SCALE_LOW, scale_seg_dir, "scale")
             walls_low += s_low["walls"]
             probes_low += s_low["noise_probe_s"]
+            bw_low += s_low["membw_probe_gbps"]
         thr_s_high = n_scale / min(walls_high)
         thr_s_low = n_scale / min(walls_low)
         eff = (thr_s_high / thr_s_low) / (SCALE_HIGH / SCALE_LOW)
@@ -419,10 +443,12 @@ def main() -> None:
             "cores_low": SCALE_LOW,
             "walls_low": walls_low,
             "noise_probe_low_s": probes_low,
+            "membw_probe_low_gbps": bw_low,
             "thr_low": round(thr_s_low, 1),
             "cores_high": SCALE_HIGH,
             "walls_high": walls_high,
             "noise_probe_high_s": probes_high,
+            "membw_probe_high_gbps": bw_high,
             "thr_high": round(thr_s_high, 1),
             "efficiency": round(eff, 3),
             "host_cpu_ceiling": ceiling,
