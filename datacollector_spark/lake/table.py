@@ -81,11 +81,28 @@ _WIDENINGS = {
 _KEYS_KEEP = 1024
 _LINEAGE_KEEP = 64
 
+# Manifest format version. Bumped when the on-disk meaning of stored fields
+# changes; opening a table written by an incompatible format raises instead
+# of silently misreading it. History:
+#   2 — _lsn stores the PACKED order (lsn<<16|seq_in_tx); date widens to
+#       timestamp_ntz; binlog lsn_bits default 32. A v<2 table's bare-lsn
+#       values would lose every LWW comparison against packed _ord values
+#       (~65536x larger), letting stale events overwrite newer rows.
+_FORMAT_VERSION = 2
+
 
 def _split_commit_key(key: str) -> tuple[str, int] | None:
-    """'ns:microbatch-17' -> ('ns:microbatch', 17); None if no numeric tail."""
+    """'ns:microbatch-17' -> ('ns:microbatch', 17); None otherwise.
+
+    Restricted to the INTERNAL streaming key shape ('<stream>:microbatch-N',
+    used by CdcIngestPipeline and MultiTableCdcPipeline, which commit batch
+    ids in order): merge() is a public API, and a batch caller committing
+    arbitrary numeric-tailed keys out of order ('backfill-10' then
+    'backfill-5') must not have the later merge silently skipped as a replay
+    by the high-water mark. User keys get exact-match replay protection via
+    the bounded ring only."""
     head, sep, tail = key.rpartition("-")
-    if sep and tail.isdigit():
+    if sep and tail.isdigit() and head.endswith(":microbatch"):
         return head, int(tail)
     return None
 
@@ -164,6 +181,7 @@ class LakeTable:
         )
         manifest = {
             "version": 0,
+            "format_version": _FORMAT_VERSION,
             "schema": schema.jsonValue(),
             "key_columns": key_columns,
             "num_buckets": num_buckets,
@@ -198,7 +216,17 @@ class LakeTable:
             with open(os.path.join(self.path, "_manifests", "VERSION")) as f:
                 version = int(f.read().strip())
         with open(self._manifest_path(self.path, version)) as f:
-            return json.load(f)
+            manifest = json.load(f)
+        fv = manifest.get("format_version", 1)
+        if fv != _FORMAT_VERSION:
+            raise ValueError(
+                f"table at {self.path} has manifest format_version={fv}; this "
+                f"engine reads/writes format_version={_FORMAT_VERSION} "
+                "(packed-order _lsn encoding). Opening it would silently "
+                "mis-order LWW merges — rewrite the table (read old engine -> "
+                "write new) to migrate."
+            )
+        return manifest
 
     def refresh(self) -> "LakeTable":
         self._manifest = self._load_manifest()
@@ -424,10 +452,15 @@ class LakeTable:
         # consistent with (lsn, seq_in_tx) when two changes to one key share
         # an lsn but land in different micro-batches.
         if "seq_in_tx" in source.columns:
-            seq = F.coalesce(F.col("seq_in_tx").cast("long"), F.lit(0)).bitwiseAND(
-                F.lit((1 << 16) - 1)
+            # shared guarded packing (operators/collapse.py): raises on
+            # lsn >= 2^47 instead of silently wrapping int64 into wrong
+            # LWW winners (decoders emitting pre-packed offsets — e.g. a raw
+            # BSON ts — would otherwise corrupt order with no error)
+            from datacollector_spark.operators.collapse import packed_order
+
+            order_expr = packed_order(
+                F.col("lsn"), F.coalesce(F.col("seq_in_tx").cast("long"), F.lit(0))
             )
-            order_expr = F.shiftleft(F.col("lsn"), 16) + seq
         else:
             order_expr = F.col("lsn").cast("long")
         s = (

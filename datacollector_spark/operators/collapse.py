@@ -24,9 +24,11 @@ key; exact duplicates collapse to one row):
   two-phase variant (north rule: salted repartitioning for adversarially
   hot keys).
 
-Order packing: packed = lsn * 2^16 + seq_in_tx. Contract: lsn < 2^47 and
-0 <= seq_in_tx < 2^16 (seq is masked defensively) — the generator and every
-decoder in sources/changelog_formats.py satisfy this.
+Order packing: packed = lsn * 2^16 + seq_in_tx. Contract: 0 <= lsn < 2^47
+and 0 <= seq_in_tx < 2^16 (seq is masked defensively) — the generator and
+every decoder in sources/changelog_formats.py satisfy this, and the budget
+is ENFORCED at this packing site: Spark's shiftleft wraps int64 silently,
+so an out-of-budget lsn would otherwise flip LWW winners with no error.
 """
 
 from __future__ import annotations
@@ -37,11 +39,29 @@ from pyspark.sql import functions as F
 from datacollector_spark.model import KEY_COLUMNS
 
 _SEQ_BITS = 16
+LSN_BUDGET_BITS = 64 - _SEQ_BITS - 1  # 47: packed order must fit signed int64
+
+
+def packed_order(lsn: Column, seq: Column) -> Column:
+    """lsn<<16 | (seq & 0xFFFF), with the lsn budget enforced distributively
+    (raise_error, not silent int64 wrap). Shared by the in-batch collapse and
+    the lake merge (lake/table.py) so both use the identical total order."""
+    seq_m = seq.cast("long").bitwiseAND(F.lit((1 << _SEQ_BITS) - 1))
+    packed = F.shiftleft(lsn, _SEQ_BITS) + seq_m
+    return F.when(
+        (lsn >= 0) & (lsn < F.lit(1 << LSN_BUDGET_BITS).cast("long")), packed
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsn out of packing budget (0 <= lsn < 2^{LSN_BUDGET_BITS}): "),
+                lsn.cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 def _packed_order(lsn_col: str, seq_col: str) -> Column:
-    seq = F.col(seq_col).cast("long").bitwiseAND(F.lit((1 << _SEQ_BITS) - 1))
-    return F.shiftleft(F.col(lsn_col), _SEQ_BITS) + seq
+    return packed_order(F.col(lsn_col), F.col(seq_col))
 
 
 def lww_collapse(

@@ -100,13 +100,37 @@ def decode_mysql_binlog(df: DataFrame, json_col: str, lsn_bits: int = 32) -> Dat
 
 
 def decode_oracle_cdc(df: DataFrame, json_col: str) -> DataFrame:
-    """Oracle CDC (LogMiner) JSON -> envelope. LSN = (SCN << 16) | SEQ —
-    the reference's SCN::seq offset (OracleCDCSource.java:158)."""
+    """Oracle CDC (LogMiner) JSON -> envelope. lsn = SCN, seq_in_tx = SEQ;
+    the downstream packed order (lsn<<16 | seq, operators/collapse.py)
+    reproduces the reference's SCN::seq offset (OracleCDCSource.java:158)
+    EXACTLY ONCE — packing SCN<<16|SEQ here and again downstream would
+    overflow int64 for SCN >= 2^31 and silently corrupt LWW winners.
+
+    Budget guards (raise instead of silently-wrong ordering, same contract
+    as decode_mysql_binlog): SCN < 2^47 (Oracle SCNs are 48-bit; a real SCN
+    hits 2^47 only after ~4000 years at 1M SCN/s) and SEQ < 2^16 (one
+    redo-record sequence per statement; a transaction touching one row
+    >65535 times within a single SCN needs a wider packing)."""
     r = F.from_json(F.col(json_col), _ORACLE_SCHEMA)
+    scn, seq = r["SCN"], r["SEQ"]
+    lsn_checked = F.when(
+        (scn >= 0) & (scn < F.lit(1 << 47).cast("long")), scn
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("oracle SCN out of LSN budget (< 2^47): "), scn.cast("string"))
+        ).cast("long")
+    )
+    seq_checked = F.when(
+        seq.isNull() | ((seq >= 0) & (seq < (1 << 16))), F.coalesce(seq, F.lit(0))
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("oracle SEQ out of seq budget (< 2^16): "), seq.cast("string"))
+        ).cast("int")
+    )
     return df.select(
         r["OPERATION"].cast("int").alias("op"),
-        (F.shiftleft(r["SCN"], 16) + r["SEQ"]).alias("lsn"),
-        r["SEQ"].cast("int").alias("seq_in_tx"),
+        lsn_checked.alias("lsn"),
+        seq_checked.cast("int").alias("seq_in_tx"),
         r["TABLE_NAME"].alias("src_table"),
         F.lit(None).cast("long").alias("server_id"),
         F.timestamp_millis(r["TIMESTAMP"]).alias("commit_ts"),
@@ -117,7 +141,14 @@ def decode_oracle_cdc(df: DataFrame, json_col: str) -> DataFrame:
 
 def decode_mongo_oplog(df: DataFrame, json_col: str) -> DataFrame:
     """Mongo oplog JSON -> envelope. op i/u/d; ts is a packed BSON Timestamp
-    (seconds<<32 | ordinal) which is already a monotone LSN.
+    (seconds<<32 | ordinal), a monotone total order — but at ~2^62 for
+    current wall clocks it blows the engine's lsn < 2^47 packing budget, so
+    it is RESCALED into (lsn, seq_in_tx) losslessly: lsn = ts >> 16,
+    seq_in_tx = ts & 0xFFFF. The downstream packed order
+    (lsn<<16 | seq, operators/collapse.py) then reconstructs the exact BSON
+    ts, so cross-batch LWW ordering equals oplog ordering bit-for-bit, and
+    lsn = ts>>16 < 2^47 holds for every non-negative int64 ts. Negative ts
+    (corrupt oplog entry) raises instead of silently mis-ordering.
 
     For updates the oplog splits the record: 'o2' carries the row key and
     'o' the modification document, so data = o overlaid with o2 (key fields
@@ -139,10 +170,16 @@ def decode_mongo_oplog(df: DataFrame, json_col: str) -> DataFrame:
         o, lambda k, _v: ~F.coalesce(F.array_contains(F.map_keys(o2), k), F.lit(False))
     )
     merged = F.map_concat(F.coalesce(o_minus_o2, F.create_map()), F.coalesce(o2, F.create_map()))
+    ts = r["ts"]
+    lsn_checked = F.when(ts >= 0, F.shiftrightunsigned(ts, 16)).otherwise(
+        F.raise_error(
+            F.concat(F.lit("negative BSON timestamp in oplog entry: "), ts.cast("string"))
+        ).cast("long")
+    )
     return df.select(
         op.alias("op"),
-        r["ts"].alias("lsn"),
-        F.lit(0).alias("seq_in_tx"),
+        lsn_checked.alias("lsn"),
+        ts.bitwiseAND(F.lit((1 << 16) - 1)).cast("int").alias("seq_in_tx"),
         r["ns"].alias("src_table"),
         F.coalesce(r["h"], F.lit(0)).alias("server_id"),
         F.timestamp_seconds(F.shiftrightunsigned(r["ts"], 32)).alias("commit_ts"),

@@ -48,7 +48,7 @@ def file_tail_stream(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
-    rolled_pattern: str = "*",
+    rolled_pattern: str = "*.[0-9]*",
     file_format: str = "text",
     max_files_per_trigger: int | None = None,
     max_file_age: str | None = None,
@@ -63,6 +63,10 @@ def file_tail_stream(
     files enter the stream — the correct at-scale semantics, because a file
     handed to a distributed reader must not be mid-append (the reference
     tails the live file byte-wise from one process; a cluster cannot).
+    ``rolled_pattern`` must therefore EXCLUDE the live file: the default
+    '*.[0-9]*' matches rotation-shaped names (app.log.1, app.log.2025-01-01)
+    and not the bare live log; pass your rotation scheme's glob explicitly
+    when it differs.
     The live file's tail is picked up when it rotates; ``max_file_age``
     bounds how far back the first run reads (spooler's initial-file analog).
     Every row carries ``_source_file`` + ``_line_offset`` header analogs

@@ -75,11 +75,11 @@ class MultiTableCdcPipeline:
         return reader.parquet(self.source_dir)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        t0 = time.time()
         batch = batch_df.persist()
         try:
             slices = route_by_table(batch, list(self.table_configs))
             for name, sl in slices.items():
+                t0 = time.time()  # per-table wall, not cumulative micro-batch
                 cfg = self.table_configs[name]
                 table: LakeTable = cfg["table"]
                 commit_key = f"{self.stream_id}:{name}:microbatch-{batch_id}"

@@ -53,7 +53,10 @@ def test_decode_oracle_cdc(spark):
     }
     df = spark.createDataFrame([(json.dumps(ev),)], "raw string")
     row = decode_oracle_cdc(df, "raw").first()
-    assert row["op"] == OP_DELETE and row["lsn"] == (999 << 16) + 5
+    # lsn = bare SCN, seq carried separately: the downstream pack
+    # (lsn<<16 | seq) reproduces the reference's SCN::seq offset exactly once
+    assert row["op"] == OP_DELETE
+    assert row["lsn"] == 999 and row["seq_in_tx"] == 5
 
 
 def test_decode_mongo_oplog(spark):
@@ -64,7 +67,10 @@ def test_decode_mongo_oplog(spark):
           "o": {"conv_id": "c2", "text": "yo"}}
     df = spark.createDataFrame([(json.dumps(ev),)], "raw string")
     row = decode_mongo_oplog(df, "raw").first()
-    assert row["op"] == OP_INSERT and row["lsn"] == ts
+    # BSON ts rescaled into the (lsn, seq) budget: packed order == exact ts
+    assert row["op"] == OP_INSERT
+    assert row["lsn"] == ts >> 16 and row["seq_in_tx"] == ts & 0xFFFF
+    assert (row["lsn"] << 16) + row["seq_in_tx"] == ts
     assert row["commit_ts"].year == 2025
 
 

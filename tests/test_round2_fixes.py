@@ -132,17 +132,17 @@ def test_manifest_bounded_and_hw_replay(spark, tmp_path, monkeypatch):
     )
     for i in range(6):
         table.merge(
-            src.withColumn("lsn", F.lit(i + 1).cast("long")), commit_key=f"s:mb-{i}"
+            src.withColumn("lsn", F.lit(i + 1).cast("long")), commit_key=f"s:microbatch-{i}"
         )
     m = table._manifest
     assert len(m["committed_keys"]) == 3  # ring capped
     assert len(m["lineage"]) == 2  # lineage tail capped
-    assert m["committed_hw"] == {"s:mb": 5}
+    assert m["committed_hw"] == {"s:microbatch": 5}
     # evicted from the ring, still committed via the high-water mark
-    assert "s:mb-0" not in m["committed_keys"]
-    assert table.committed("s:mb-0") and table.committed("s:mb-5")
-    assert not table.committed("s:mb-6") and not table.committed("other-stream-0")
-    res = table.merge(src, commit_key="s:mb-2")  # ancient replay -> no-op
+    assert "s:microbatch-0" not in m["committed_keys"]
+    assert table.committed("s:microbatch-0") and table.committed("s:microbatch-5")
+    assert not table.committed("s:microbatch-6") and not table.committed("other:microbatch-0")
+    res = table.merge(src, commit_key="s:microbatch-2")  # ancient replay -> no-op
     assert res.noop
     # manifest file size is bounded (does not grow with merge count)
     size_now = os.path.getsize(
@@ -150,7 +150,7 @@ def test_manifest_bounded_and_hw_replay(spark, tmp_path, monkeypatch):
     )
     for i in range(6, 10):
         table.merge(
-            src.withColumn("lsn", F.lit(i + 1).cast("long")), commit_key=f"s:mb-{i}"
+            src.withColumn("lsn", F.lit(i + 1).cast("long")), commit_key=f"s:microbatch-{i}"
         )
     size_later = os.path.getsize(table._manifest_path(table.path, table.version))
     assert abs(size_later - size_now) < 200
