@@ -232,9 +232,19 @@ def simhash_near_pairs(
 
     Pigeonhole: split the fingerprint into ``chunks`` pieces; any pair
     within hamming<=chunks-1 shares at least one identical chunk, so
-    candidates come from chunk-bucket self-joins (requires
-    max_hamming < chunks). Verification = bit_count(xor). The self-join
-    carries only (id, chunk, value) — 20 bytes/row — never text.
+    candidates come from (chunk, value) buckets (requires
+    max_hamming < chunks). Verification = bit_count(xor).
+
+    Scale shape — bucket expansion, not a self-join (the minhash template,
+    minhash_lsh_pairs above): ONE shuffle of (id, fp, chunk, value) rows
+    (~28 bytes, never text) into groupBy(chunk, value) buckets, then
+    in-bucket pair expansion. A self-join would evaluate the whole simhash
+    pipeline (token explode + 60-bit vote aggregate — the costly part) once
+    PER SIDE, and locally AQE's broadcast defeats exchange reuse. The
+    fingerprint rides the bucket row, so the hamming verify needs no
+    joinback at all. Buckets are tiny by design (a hot bucket means a
+    near-identical cluster, which IS the signal); the pair blowup is
+    confined within buckets.
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole requires max_hamming < chunks")
@@ -254,20 +264,32 @@ def simhash_near_pairs(
             )
         ).alias("_chunk", "_cv"),
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
+    grouped = (
+        chunked.groupBy("_chunk", "_cv")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_fp"))).alias("_rows"))
+        .where(F.size("_rows") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a._chunk") == F.col("b._chunk"))
-            & (F.col("a._cv") == F.col("b._cv"))
-            & (F.col("a._id") < F.col("b._id")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_rows",
+                        lambda x, i: F.transform(
+                            F.slice("_rows", i + 2, F.size("_rows")),
+                            lambda y: F.struct(
+                                x["_id"].alias("id_a"),
+                                y["_id"].alias("id_b"),
+                                x["_fp"].alias("_fa"),
+                                y["_fp"].alias("_fb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._fp").alias("_fa"),
-            F.col("b._fp").alias("_fb"),
-        )
+        .select("_p.*")
+        # a pair may share several chunks; fp copies are identical, keep one
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))

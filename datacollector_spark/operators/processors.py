@@ -360,20 +360,35 @@ def fuzzy_field_map(
 
 # ------------------------------------------------------------ dedup stage
 def record_deduplicator(
-    df: DataFrame, columns: Sequence[str] | None = None
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    order_column: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(unique, duplicate) split by hash of selected fields — the Record
     Deduplicator (basic-lib/.../dedup/DeDupProcessor.java:122-143). Batch
-    form; the streaming form is dropDuplicatesWithinWatermark."""
-    cols = list(columns) if columns else list(df.columns)
-    from pyspark.sql import Window
+    form; the streaming form is dropDuplicatesWithinWatermark.
 
-    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.monotonically_increasing_id())
-    tagged = df.withColumn("_rn", F.row_number().over(w))
-    return (
-        tagged.where(F.col("_rn") == 1).drop("_rn"),
-        tagged.where(F.col("_rn") > 1).drop("_rn"),
-    )
+    Winner per group = the row minimizing (order_column if given, then every
+    remaining column): a fixed-width HashAggregate (map-side combined, no
+    sort), and DETERMINISTIC across partition layouts — the previous
+    window-over-monotonically_increasing_id plan both paid a full
+    shuffle+sort and picked a layout-dependent winner. The duplicate lane is
+    ``exceptAll`` (multiplicity-aware: N byte-identical copies yield 1
+    unique + N-1 duplicates, which a plain anti-join cannot express)."""
+    cols = list(columns) if columns else list(df.columns)
+    rest = [c for c in df.columns if c not in cols]
+    if order_column and order_column in rest:
+        rest = [order_column] + [c for c in rest if c != order_column]
+    if rest:
+        winners = (
+            df.groupBy(*cols)
+            .agg(F.min(F.struct(*[F.col(c) for c in rest])).alias("_rep"))
+            .select(*cols, *[F.col(f"_rep.{c}").alias(c) for c in rest])
+            .select(*df.columns)  # original column order
+        )
+    else:
+        winners = df.dropDuplicates(cols)
+    return winners, df.exceptAll(winners)
 
 
 # ----------------------------------------------------- scripting (pandas)

@@ -155,22 +155,46 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     planes: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join: candidates
-    share a sign bucket (high-cosine pairs almost always do at small plane
-    counts), then exact cosine verify."""
+    """Embedding-cosine near-duplicate pairs: candidates share an LSH sign
+    bucket (high-cosine pairs almost always do at small plane counts), then
+    exact cosine verify.
+
+    Scale shape — bucket expansion, not a self-join (the minhash template,
+    operators/dedup.py): ONE shuffle of (id, vec) rows into groupBy(bucket)
+    buckets, then in-bucket pair expansion with the cosine verify inline.
+    A self-join would compute the ``planes`` hyperplane dot products per row
+    PER SIDE and shuffle the vectors twice (or broadcast a full corpus
+    copy). Vectors ride the single bucket shuffle, so the verify needs no
+    joinback; per-bucket expansion cost is size^2, bounded by 2^planes
+    bucketing of the corpus."""
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("_b"),
     )
-    x, y = b.alias("a"), b.alias("b")
-    pairs = x.join(
-        y, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id"))
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        cosine(
-            F.col("a._v").cast("array<double>"), F.col("b._v").cast("array<double>")
-        ).alias("cosine"),
+    grouped = (
+        b.groupBy("_b")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_v"))).alias("_rows"))
+        .where(F.size("_rows") >= 2)
     )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_rows",
+                    lambda x, i: F.transform(
+                        F.slice("_rows", i + 2, F.size("_rows")),
+                        lambda y: F.struct(
+                            x["_id"].alias("id_a"),
+                            y["_id"].alias("id_b"),
+                            cosine(
+                                x["_v"].cast("array<double>"),
+                                y["_v"].cast("array<double>"),
+                            ).alias("cosine"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.*")
     return pairs.where(F.col("cosine") >= threshold)

@@ -130,47 +130,78 @@ class PipelineSpec:
                 raise ValidationError(f"VALIDATION_0006: unknown stage type {typ!r}")
 
     # --------------------------------------------------------------- build
-    def build(self, spark: SparkSession) -> dict[str, DataFrame]:
-        """Wire the stages; returns {lane: DataFrame} for every lane."""
+    def build(
+        self,
+        spark: SparkSession,
+        overrides: dict[str, Any] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Wire the stages; returns {lane: DataFrame} for every lane.
+
+        ``overrides`` — {lane: DataFrame | list[row dict]}: inject literal
+        stage OUTPUTS mid-DAG; downstream stages consume the injected frame
+        instead of the computed one (the reference preview's stagesOverride,
+        container/.../runner/preview/sync/SyncPreviewer.java:196 — test a
+        downstream stage in isolation from its real upstream). The computed
+        lane is still returned under '<lane>:computed' so a preview shows
+        both what the stage produced and what downstream consumed."""
+        overrides = overrides or {}
+
+        def _place(lane: str, df: DataFrame) -> None:
+            if lane in overrides:
+                ov = overrides[lane]
+                if not isinstance(ov, DataFrame):
+                    ov = spark.createDataFrame(ov, schema=df.schema)
+                lanes[f"{lane}:computed"] = df
+                lanes[lane] = ov
+            else:
+                lanes[lane] = df
+
         lanes: dict[str, DataFrame] = {}
         targets: dict[str, DataFrame] = {}
         for st in self.spec["stages"]:
             typ = st["type"]
             cfg = {k: v for k, v in st.items() if k not in ("name", "type", "in", "out")}
             if typ == "parquet_origin":
-                lanes[st.get("out", "main")] = _origin(spark, cfg, lanes)
+                _place(st.get("out", "main"), _origin(spark, cfg, lanes))
             elif typ == "stream_selector":
                 routed = P.stream_selector(
                     lanes[st["in"]],
                     [tuple(c) for c in st["conditions"]],
                     st.get("default_lane", "default"),
                 )
-                lanes.update(routed)
+                for lane, df in routed.items():
+                    _place(lane, df)
             elif typ == "precondition_filter":
                 ok, err = P.precondition_filter(
                     lanes[st["in"]],
                     st.get("condition", ""),
                     st.get("required_fields", ()),
                 )
-                lanes[st.get("out", "ok")] = ok
-                lanes[st.get("error_lane", "errors")] = err
+                _place(st.get("out", "ok"), ok)
+                _place(st.get("error_lane", "errors"), err)
             elif typ in _PROCESSORS:
                 fn, _ = _PROCESSORS[typ]
-                lanes[st.get("out", st["in"])] = fn(lanes[st["in"]], **cfg)
+                _place(st.get("out", st["in"]), fn(lanes[st["in"]], **cfg))
             elif typ == "memory_target":
                 targets[st["name"]] = lanes[st["in"]]
         lanes.update(targets)
         return lanes
 
     # ------------------------------------------------------------- preview
-    def preview(self, spark: SparkSession, limit_rows: int = 10) -> dict[str, list[dict]]:
+    def preview(
+        self,
+        spark: SparkSession,
+        limit_rows: int = 10,
+        overrides: dict[str, Any] | None = None,
+    ) -> dict[str, list[dict]]:
         """Dry-run: build the DAG, capture up to ``limit_rows`` rows from
         EVERY lane, commit nothing (the reference's preview runner,
         container/.../runner/preview/sync/SyncPreviewer.java:73,196 —
         limited-batch run with per-stage output capture and no offset
         commit). Sinks are never written; origins are read through the
-        normal scan path, so preview exercises the real plan."""
-        lanes = self.build(spark)
+        normal scan path, so preview exercises the real plan. ``overrides``
+        injects literal stage outputs mid-DAG (see :meth:`build`)."""
+        lanes = self.build(spark, overrides=overrides)
         return {
             lane: [r.asDict(recursive=True) for r in df.limit(limit_rows).collect()]
             for lane, df in lanes.items()

@@ -16,7 +16,54 @@ cluster with a JDBC driver jar on the classpath.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+class JdbcOffsetStore:
+    """Durable per-table offset map — the reference's multi-entity offset
+    tracker (container/.../runner/production/ProductionSourceOffsetTracker
+    .java:59-85 stores {entity: offset} in the pipeline's offset.json).
+
+    Same checkpoint-dir JSON pattern as the streaming watermark
+    (streaming/pipeline.py _save_watermark): atomic replace, survives
+    restart. The polling loop is: read tables with the stored offsets,
+    process, then ``advance(table, new_max)`` after the batch COMMITS —
+    advancing before commit would drop rows on a crash (at-least-once is
+    the floor; the lake's commit keys upgrade it to exactly-once)."""
+
+    def __init__(self, checkpoint_dir: str):
+        self.checkpoint_dir = checkpoint_dir
+        self._path = os.path.join(checkpoint_dir, "jdbc_offsets.json")
+        self._offsets: dict[str, object] = self._load()
+
+    def _load(self) -> dict[str, object]:
+        try:
+            with open(self._path) as f:
+                return json.load(f)["offsets"]
+        except (OSError, KeyError, ValueError):
+            return {}
+
+    def offsets(self) -> dict[str, object]:
+        return dict(self._offsets)
+
+    def get(self, table: str):
+        return self._offsets.get(table)
+
+    def advance(self, table: str, offset) -> None:
+        """Persist a committed offset (monotone: regressions are ignored,
+        like the reference's offset tracker)."""
+        cur = self._offsets.get(table)
+        if cur is not None and not (offset > cur):
+            return
+        self._offsets[table] = offset
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"offsets": self._offsets}, f)
+        os.replace(tmp, self._path)
 
 
 def jdbc_query(
@@ -87,6 +134,7 @@ def jdbc_multitable(
     fk_edges: list[tuple[str, str]] | None = None,
     order: str = "NONE",
     properties: dict[str, str] | None = None,
+    offset_store: JdbcOffsetStore | None = None,
 ) -> list[tuple[str, DataFrame]]:
     """JDBC Multitable origin (TableJdbcSource.java:141-161): N tables with
     per-table offset columns and partitioned reads, returned in the
@@ -95,10 +143,15 @@ def jdbc_multitable(
     Each config: {"table": str, "offset_column": str|None,
     "partition_column": str|None, "lower_bound", "upper_bound",
     "num_partitions": int}. ``offsets`` maps table -> last committed offset
-    (the reference's per-table offset map, stored in the pipeline offset
-    file; here the caller persists it — our streaming-checkpoint analog).
+    (the reference's per-table offset map). Pass ``offset_store`` instead
+    (JdbcOffsetStore, checkpoint-dir durable) and the stored offsets are
+    used automatically — a restarted poller resumes where the last
+    committed batch left off with no caller plumbing; call
+    ``offset_store.advance(table, new_max)`` after the batch commits.
     The reference's numberOfThreads knob disappears: Spark executors run
     the per-table partition ranges concurrently."""
+    if offsets is None and offset_store is not None:
+        offsets = offset_store.offsets()
     names = [c["table"] for c in table_configs]
     if order == "ALPHABETICAL":
         ordered = sorted(names)

@@ -67,12 +67,20 @@ from dataclasses import dataclass
 class DataRule:
     """A data rule: SQL condition sampled over every micro-batch; fires an
     alert when at least ``min_count`` rows match
-    (container/.../config/DataRuleDefinition.java:28-66)."""
+    (container/.../config/DataRuleDefinition.java:28-66).
+
+    ``sampling_pct`` (0..1] mirrors the reference's samplingPercentage: the
+    rule is evaluated on a uniform sample of the batch (one shared seeded
+    draw per batch, projected as a column — nondeterministic expressions
+    are illegal inside CollectMetrics), and ``min_count`` applies to the
+    SAMPLED match count, as in the reference. Costs nothing extra: the
+    sample predicate folds into the existing observe() pass."""
 
     name: str
     condition: str  # SQL boolean expression over the changelog columns
     min_count: int = 1
     level: str = "warn"
+    sampling_pct: float = 1.0
 
 
 class CdcIngestPipeline:
@@ -260,11 +268,17 @@ class CdcIngestPipeline:
             from pyspark.sql import Observation
 
             metrics = [F.max("commit_ts").alias("_max_ts")]
+            sampled = any(r.sampling_pct < 1.0 for r in self.data_rules)
+            if sampled:
+                # rand() is nondeterministic — illegal directly inside
+                # CollectMetrics; project the draw, reference the column
+                df = df.withColumn("_sample_u", F.rand(seed=batch_id))
             for i, rule in enumerate(self.data_rules):
+                cond = F.expr(rule.condition)
+                if rule.sampling_pct < 1.0:
+                    cond = cond & (F.col("_sample_u") < rule.sampling_pct)
                 metrics.append(
-                    F.sum(
-                        F.when(F.expr(rule.condition), 1).otherwise(0)
-                    ).alias(f"_rule_{i}")
+                    F.sum(F.when(cond, 1).otherwise(0)).alias(f"_rule_{i}")
                 )
             if self.file_events_dir:
                 # input_file_name is nondeterministic — illegal directly
@@ -275,6 +289,8 @@ class CdcIngestPipeline:
             df = df.observe(obs, *metrics)
             if self.file_events_dir:
                 df = df.drop("_source_file")
+            if sampled:
+                df = df.drop("_sample_u")
 
         # ---- late-record policy: Structured-Streaming watermark semantics
         # (threshold = max event time seen in PRIOR batches minus limit);
@@ -330,14 +346,15 @@ class CdcIngestPipeline:
             for i, rule in enumerate(self.data_rules):
                 n = int(m.get(f"_rule_{i}") or 0)
                 if n >= rule.min_count:
-                    self.alerts.append(
-                        {
-                            "batch_id": batch_id,
-                            "rule": rule.name,
-                            "level": rule.level,
-                            "count": n,
-                        }
-                    )
+                    alert = {
+                        "batch_id": batch_id,
+                        "rule": rule.name,
+                        "level": rule.level,
+                        "count": n,
+                    }
+                    if rule.sampling_pct < 1.0:
+                        alert["sampling_pct"] = rule.sampling_pct
+                    self.alerts.append(alert)
             if self.file_events_dir and m.get("_files"):
                 rows = [
                     (batch_id, f, ev)

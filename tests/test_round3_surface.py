@@ -1,0 +1,138 @@
+"""Round-3 surface additions: durable JDBC multitable offsets, preview
+stage-output overrides, data-rule sampling percentage, PIL-gated decode."""
+
+from __future__ import annotations
+
+import pytest
+
+from datacollector_spark.sources import jdbc as jdbc_mod
+
+
+def test_jdbc_offset_store_restart_resume(spark, tmp_path, monkeypatch):
+    """Second poller run resumes from the persisted per-table offset map
+    without caller plumbing (ProductionSourceOffsetTracker.java:59-85)."""
+    from datacollector_spark.sources.jdbc import JdbcOffsetStore, jdbc_multitable
+
+    frames = {
+        "t_a": spark.createDataFrame([(1,), (2,), (3,)], "seq int"),
+        "t_b": spark.createDataFrame([(10,), (20,)], "seq int"),
+    }
+    monkeypatch.setattr(
+        jdbc_mod, "jdbc_query", lambda spark, url, table, properties=None: frames[table]
+    )
+    cfgs = [
+        {"table": "t_a", "offset_column": "seq"},
+        {"table": "t_b", "offset_column": "seq"},
+    ]
+    ckpt = str(tmp_path / "ckpt")
+    store = JdbcOffsetStore(ckpt)
+    out = dict(jdbc_multitable(spark, "jdbc:stub", cfgs, offset_store=store))
+    assert out["t_a"].count() == 3 and out["t_b"].count() == 2  # first run: full
+    # batch commits; poller advances the offsets it saw
+    store.advance("t_a", 2)
+    store.advance("t_b", 20)
+    store.advance("t_a", 1)  # regression ignored (monotone)
+
+    # "restart": a fresh store over the same checkpoint dir resumes
+    store2 = JdbcOffsetStore(ckpt)
+    assert store2.offsets() == {"t_a": 2, "t_b": 20}
+    out2 = dict(jdbc_multitable(spark, "jdbc:stub", cfgs, offset_store=store2))
+    assert out2["t_a"].count() == 1  # seq > 2
+    assert out2["t_b"].count() == 0  # seq > 20
+
+
+def test_preview_stage_output_override(spark, tmp_path):
+    """Inject a literal stage output mid-DAG; downstream stages consume the
+    injected rows (SyncPreviewer.java:196 stagesOverride)."""
+    from datacollector_spark.plans.spec import PipelineSpec
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("error", 1), ("click", 950)], "event_type string, value int"
+    ).write.parquet(src)
+    spec = PipelineSpec(
+        {
+            "pipeline": "p",
+            "stages": [
+                {"name": "src", "type": "parquet_origin", "path": src, "out": "main"},
+                {
+                    "name": "sel",
+                    "type": "stream_selector",
+                    "in": "main",
+                    "conditions": [["errors", "event_type = 'error'"]],
+                    "default_lane": "ok",
+                },
+                {
+                    "name": "hash",
+                    "type": "field_hasher",
+                    "in": "ok",
+                    "columns": ["event_type"],
+                    "target": "h",
+                    "out": "hashed",
+                },
+            ],
+        }
+    )
+    injected = [{"event_type": "synthetic", "value": 7}]
+    cap = spec.preview(spark, limit_rows=10, overrides={"ok": injected})
+    # downstream stage ran over the INJECTED rows, not the computed lane
+    assert [r["event_type"] for r in cap["hashed"]] == ["synthetic"]
+    assert all("h" in r for r in cap["hashed"])
+    # both views captured: what the stage computed and what downstream saw
+    assert [r["event_type"] for r in cap["ok"]] == ["synthetic"]
+    assert [r["event_type"] for r in cap["ok:computed"]] == ["click"]
+    # untouched lanes unaffected
+    assert len(cap["errors"]) == 1
+
+
+def test_data_rule_sampling_pct(spark, tmp_path):
+    """sampling_pct evaluates the rule on ~pct of the batch inside the same
+    CollectMetrics pass (DataRuleDefinition.java:28-66 samplingPercentage)."""
+    from datacollector_spark.lake import LakeTable
+    from datacollector_spark.model import KEY_COLUMNS, transcripts_schema
+    from datacollector_spark.sources.generator import ChangelogSpec, generate_changelog
+    from datacollector_spark.streaming import CdcIngestPipeline
+    from datacollector_spark.streaming.pipeline import DataRule
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), transcripts_schema(), KEY_COLUMNS, num_buckets=2
+    )
+    batch = generate_changelog(spark, ChangelogSpec(n_events=2000, n_conversations=50))
+    n = batch.count()
+    pipe = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "seg"),
+        table,
+        str(tmp_path / "ckpt"),
+        data_rules=[
+            DataRule("all-sampled", "op >= 1", min_count=1, sampling_pct=0.5),
+            DataRule("all-full", "op >= 1", min_count=1),
+        ],
+    )
+    pipe.apply_batch(batch, batch_id=0)
+    counts = {a["rule"]: a["count"] for a in pipe.alerts}
+    assert counts["all-full"] == n
+    assert 0.35 * n < counts["all-sampled"] < 0.65 * n
+    assert {a["rule"]: a.get("sampling_pct") for a in pipe.alerts}["all-sampled"] == 0.5
+
+
+def test_image_decode_upgrades_when_pil_present(spark):
+    """The decode stub self-upgrades to a real codec when PIL exists; the
+    synthetic (non-image) gate payloads keep the deterministic fake path
+    either way."""
+    import numpy as np
+
+    from datacollector_spark.operators import multimodal as mm
+
+    fake = mm._decode_image_stub(b"\x01\x02\x03\x04" * 16, 4)
+    assert fake.dtype == np.float32 and len(fake) == 4  # fake path always works
+
+    if mm._PILImage is None:
+        pytest.skip("PIL not installed in this sandbox (declared stub)")
+    import io
+
+    img = mm._PILImage.new("L", (8, 8), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    real = mm._decode_image_stub(buf.getvalue(), 4)
+    assert np.allclose(real, 128.0 / 255.0, atol=1e-6)

@@ -163,16 +163,41 @@ def main() -> None:
         )
     )
 
-    # 8) embedding near-dup: LSH bucket EQUI-join — never a cross product
+    # 8) embedding near-dup: bucket EXPANSION — one shuffle of (id, vec) into
+    # (bucket) groups, in-bucket pair expansion, NO join of any kind (a
+    # self-join would evaluate the hyperplane pipeline per side and shuffle
+    # the vectors twice)
     p = plan_of(qs["dedup_embedding_cosine"](spark, sf_dir))
     checks.append(
         (
-            "embedding near-dup join strategy",
+            "embedding near-dup bucket expansion",
             p,
             [
                 ("no cartesian product", "CartesianProduct" not in p),
-                ("no nested-loop join", "BroadcastNestedLoopJoin" not in p),
-                ("bucket equi-join", "hashpartitioning(bucket" in p or "BroadcastHashJoin" in p or "hashpartitioning(_b" in p),
+                ("no join at all (single-evaluation bucket groupBy)", "Join" not in p),
+                (
+                    "exactly one bucket exchange",
+                    len(re.findall(r"hashpartitioning\(_b#", p)) == 1,
+                ),
+            ],
+        )
+    )
+
+    # 9) simhash near-dup: same bucket-expansion shape — the fingerprint
+    # pipeline (token explode + 60-bit vote aggregate) is evaluated ONCE,
+    # into a single (chunk, value) exchange; no join re-evaluates it per side
+    p = plan_of(qs["dedup_simhash"](spark, sf_dir))
+    checks.append(
+        (
+            "simhash near-dup bucket expansion",
+            p,
+            [
+                ("no join at all (single-evaluation bucket groupBy)", "Join" not in p),
+                (
+                    "exactly one chunk-bucket exchange",
+                    len(re.findall(r"hashpartitioning\(_chunk#", p)) == 1,
+                ),
+                ("no python eval", "Python" not in p),
             ],
         )
     )
