@@ -587,6 +587,24 @@ def q_proc_record_dedup(spark, sf_dir):
     )
 
 
+def q_proc_record_dedup_split(spark, sf_dir):
+    """The Record Deduplicator's full (unique, duplicate) lane split
+    (DeDupProcessor.java:122-143), deterministic across partition layouts:
+    winner = min event_id per (user_id, event_type); both lanes returned
+    with a lane marker."""
+    from datacollector_spark.operators.processors import record_deduplicator
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    uniq, dups = record_deduplicator(
+        ev, ["user_id", "event_type"], order_column="event_id"
+    )
+    return uniq.withColumn("lane", F.lit("unique")).unionByName(
+        dups.withColumn("lane", F.lit("duplicate"))
+    )
+
+
 # --------------------------------------------------------------------------
 # lookups / joins / aggregations
 # --------------------------------------------------------------------------
@@ -633,6 +651,21 @@ def q_lookup_ip_range(spark, sf_dir):
     )
     out = range_lookup(facts, ranges, "ip", "lo", "hi")
     return out.groupBy("geo").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_lookup_split_multiplicity(spark, sf_dir):
+    """SPLIT multiplicity mode of the dimension lookup (1:N matches emit N
+    records — MultipleValuesBehavior.java SPLIT_INTO_MULTIPLE_RECORDS):
+    nation enriched with ALL its suppliers via a broadcast join."""
+    from datacollector_spark.operators.processors import broadcast_lookup
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey"),
+        "s_name",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+    return broadcast_lookup(nation, supp, on="n_nationkey", multiple="SPLIT")
 
 
 def q_agg_metrics_rollup(spark, sf_dir):
@@ -854,6 +887,20 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_cdc_chunks(spark, sf_dir):
+    """Rolling-hash content-defined chunk boundaries (fuzzy-diff building
+    block, operators/text.content_defined_chunks): md5-derived window hash,
+    boundary where the low mask_bits are zero — reproducible in SQL."""
+    from datacollector_spark.operators.text import content_defined_chunks
+
+    ch = content_defined_chunks(F.col("text"), window=16, mask_bits=6)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ch).cast("long").alias("n_chunks"),
+        F.try_element_at(ch, F.lit(1)).cast("long").alias("first_boundary"),
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     from datacollector_spark.operators.multimodal import (
         extract_image_features,
@@ -912,9 +959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proc_log_parser": q_proc_log_parser,
         "format_csv_roundtrip": q_format_csv_roundtrip,
         "proc_record_dedup": q_proc_record_dedup,
+        "proc_record_dedup_split": q_proc_record_dedup_split,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "lookup_static_kv": q_lookup_static_kv,
         "lookup_ip_range": q_lookup_ip_range,
+        "lookup_split_multiplicity": q_lookup_split_multiplicity,
         "agg_metrics_rollup": q_agg_metrics_rollup,
         "window_topk_per_key": q_window_topk_per_key,
         "window_tumbling_counts": q_window_tumbling_counts,
@@ -932,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_cdc_chunks": q_text_cdc_chunks,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_frame_sampling": q_multimodal_frame_sampling,
     }
@@ -1079,6 +1129,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(event_id) AS event_id, user_id, event_type,
                    count(*) AS dup_count
             FROM events GROUP BY user_id, event_type
+        """,
+        "proc_record_dedup_split": """
+            SELECT event_id, user_id, event_type, value,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY event_id
+                   ) = 1 THEN 'unique' ELSE 'duplicate' END AS lane
+            FROM events
+        """,
+        "lookup_split_multiplicity": """
+            SELECT n.n_nationkey, n.n_name, s.s_name, s.s_acctbal
+            FROM nation n
+            LEFT JOIN (
+                SELECT s_nationkey, s_name, round(s_acctbal, 2) AS s_acctbal
+                FROM supplier
+            ) s ON s.s_nationkey = n.n_nationkey
         """,
         "lookup_broadcast_dim": """
             SELECT p_brand,
@@ -1240,6 +1305,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLE_CTE}
             SELECT doc_id, min({_MD5LONG.format(x='s')}) AS fp
             FROM shingles GROUP BY doc_id
+        """,
+        "text_cdc_chunks": f"""
+            SELECT doc_id,
+                   len(b) AS n_chunks,
+                   b[1] AS first_boundary
+            FROM (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         generate_series(1, greatest(length(text) - 16, 1)),
+                         i -> CASE WHEN ({_MD5LONG.format(x='substr(text, CAST(i AS INTEGER), 16)')} & 63) = 0
+                              THEN i END
+                       ),
+                       x -> x IS NOT NULL
+                     ) AS b
+              FROM documents
+            )
         """,
         "dedup_embedding_cosine": _embedding_neardup_oracle(dim=64, planes=6, threshold=0.95),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4),

@@ -395,12 +395,20 @@ def main() -> None:
     spark = _session(CPUS)
     t_suite = time.time()
 
-    # 1) headline query suite at SF_DIR
+    # 1) headline query suite at SF_DIR — with a noise + membw probe per
+    # query, so a contended suite window is visible in the artifact (the
+    # per-query seconds swing 2-3x with neighbor noise; the probes say which)
     qs = entrymod.queries()
+    query_probes: dict[str, dict] = {}
     for name in HEADLINE_QUERIES:
+        query_probes[name] = {
+            "noise_s": _noise_probe(),
+            "membw_gbps": _bandwidth_probe(),
+        }
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
+    result["query_probes"] = query_probes
 
     # 2) generate the changelog inputs once (streaming leg + larger scaling
     # input — see SCALE_EVENTS comment)

@@ -204,3 +204,103 @@ def parse_netflow_v5(df: DataFrame, column: str = "payload") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select(column).mapInPandas(run, NETFLOW5_SCHEMA)
+
+
+COLLECTD_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), True),
+        T.StructField("time_s", T.LongType(), True),
+        T.StructField("interval_s", T.LongType(), True),
+        T.StructField("plugin", T.StringType(), True),
+        T.StructField("plugin_instance", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("type_instance", T.StringType(), True),
+        T.StructField("value_idx", T.IntegerType(), True),
+        T.StructField("value_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+_COLLECTD_VALUE_TYPES = {0: "counter", 1: "gauge", 2: "derive", 3: "absolute"}
+
+
+def parse_collectd(df: DataFrame, column: str = "payload") -> DataFrame:
+    """DATAGRAM format, collectd mode (basic-lib/.../origin/udp/ +
+    net/collectd/CollectdParser.java): the collectd binary network protocol.
+
+    A packet is a sequence of TLV parts (2-byte type, 2-byte length incl.
+    the 4-byte header, big-endian). String/number parts (HOST, TIME,
+    PLUGIN, TYPE, INTERVAL, ...) update parser state; every VALUES part
+    (type 0x0006: 2-byte count, count 1-byte value-types, count 8-byte
+    values) emits one row per value under the current state. Number parts
+    are uint64 BE; GAUGE values are little-endian doubles (x86 wire quirk,
+    per the public spec); high-res TIME/INTERVAL (0x0008/0x0009) are
+    2^-30-second units. Encrypted/signed parts (0x0200/0x0210) and
+    malformed packets are skipped — the reference's onParseError=DISCARD.
+
+    Runs inside mapInPandas over Arrow batches; the per-part loop is
+    bounded by datagram size (<= 1452 bytes on the wire), the same shape as
+    the reference's per-packet parser."""
+    import struct
+
+    import pandas as pd
+
+    def parse_packet(raw: bytes, out: dict) -> None:
+        state: dict[str, object] = {}
+        pos, n = 0, len(raw)
+        while pos + 4 <= n:
+            ptype, plen = struct.unpack_from(">HH", raw, pos)
+            if plen < 4 or pos + plen > n:
+                return  # truncated/garbage part: discard the rest
+            body = raw[pos + 4 : pos + plen]
+            pos += plen
+            if ptype in (0x0000, 0x0002, 0x0003, 0x0004, 0x0005):
+                key = {
+                    0x0000: "host",
+                    0x0002: "plugin",
+                    0x0003: "plugin_instance",
+                    0x0004: "type",
+                    0x0005: "type_instance",
+                }[ptype]
+                state[key] = body.rstrip(b"\0").decode("utf-8", "replace")
+            elif ptype in (0x0001, 0x0007, 0x0008, 0x0009) and len(body) == 8:
+                (v,) = struct.unpack(">Q", body)
+                if ptype in (0x0008, 0x0009):  # high-res: 2^-30 s units
+                    v >>= 30
+                state["time_s" if ptype in (0x0001, 0x0008) else "interval_s"] = v
+            elif ptype == 0x0006 and len(body) >= 2:
+                (cnt,) = struct.unpack_from(">H", body, 0)
+                if len(body) < 2 + cnt * 9:
+                    continue
+                vtypes = body[2 : 2 + cnt]
+                vals = body[2 + cnt :]
+                for i in range(cnt):
+                    vt = vtypes[i]
+                    chunk = vals[i * 8 : i * 8 + 8]
+                    if vt == 1:  # gauge: little-endian double
+                        (val,) = struct.unpack("<d", chunk)
+                    elif vt == 2:  # derive: signed BE
+                        (val,) = struct.unpack(">q", chunk)
+                    else:  # counter/absolute: unsigned BE
+                        (val,) = struct.unpack(">Q", chunk)
+                    out["host"].append(state.get("host"))
+                    out["time_s"].append(state.get("time_s"))
+                    out["interval_s"].append(state.get("interval_s"))
+                    out["plugin"].append(state.get("plugin"))
+                    out["plugin_instance"].append(state.get("plugin_instance"))
+                    out["type"].append(state.get("type"))
+                    out["type_instance"].append(state.get("type_instance"))
+                    out["value_idx"].append(i)
+                    out["value_type"].append(_COLLECTD_VALUE_TYPES.get(vt, "unknown"))
+                    out["value"].append(float(val))
+            # else: unknown/encrypted part — skip (length already consumed)
+
+    def run(batches):
+        for pdf in batches:
+            out = {name: [] for name in COLLECTD_SCHEMA.fieldNames()}
+            for raw in pdf[column]:
+                if raw:
+                    parse_packet(bytes(raw), out)
+            yield pd.DataFrame(out)
+
+    return df.select(column).mapInPandas(run, COLLECTD_SCHEMA)

@@ -74,13 +74,20 @@ class DataRule:
     draw per batch, projected as a column — nondeterministic expressions
     are illegal inside CollectMetrics), and ``min_count`` applies to the
     SAMPLED match count, as in the reference. Costs nothing extra: the
-    sample predicate folds into the existing observe() pass."""
+    sample predicate folds into the existing observe() pass.
+
+    ``window_batches`` > 1 is the reference's moving-window alert meter
+    (DataObserverRunner's EWMA/window meters, simplified to a rolling sum):
+    the alert fires when the SUM of match counts over the last K
+    micro-batches reaches ``min_count`` — a slow drip of bad records
+    trips the alert even though no single batch does."""
 
     name: str
     condition: str  # SQL boolean expression over the changelog columns
     min_count: int = 1
     level: str = "warn"
     sampling_pct: float = 1.0
+    window_batches: int = 1
 
 
 class CdcIngestPipeline:
@@ -138,6 +145,13 @@ class CdcIngestPipeline:
         # micro-batch; firings append alert rows to <lineage_dir>/../alerts.
         self.data_rules = data_rules or []
         self.alerts: list[dict] = []
+        # rolling per-rule match counts for moving-window meters (bounded:
+        # each deque holds at most window_batches entries)
+        from collections import deque
+
+        self._rule_windows: list = [
+            deque(maxlen=max(r.window_batches, 1)) for r in self.data_rules
+        ]
         # auto-expire old snapshots every batch (COW storage hygiene); keep
         # enough versions for the exactly-once replay window
         self.expire_keep = expire_keep
@@ -345,13 +359,18 @@ class CdcIngestPipeline:
                 self._save_watermark()
             for i, rule in enumerate(self.data_rules):
                 n = int(m.get(f"_rule_{i}") or 0)
-                if n >= rule.min_count:
+                self._rule_windows[i].append(n)
+                windowed = sum(self._rule_windows[i])
+                if windowed >= rule.min_count:
                     alert = {
                         "batch_id": batch_id,
                         "rule": rule.name,
                         "level": rule.level,
                         "count": n,
                     }
+                    if rule.window_batches > 1:
+                        alert["window_count"] = windowed
+                        alert["window_batches"] = rule.window_batches
                     if rule.sampling_pct < 1.0:
                         alert["sampling_pct"] = rule.sampling_pct
                     self.alerts.append(alert)

@@ -116,6 +116,84 @@ def test_data_rule_sampling_pct(spark, tmp_path):
     assert {a["rule"]: a.get("sampling_pct") for a in pipe.alerts}["all-sampled"] == 0.5
 
 
+def test_data_rule_moving_window_meter(spark, tmp_path):
+    """window_batches: alert fires on the rolling sum across micro-batches
+    even when no single batch reaches min_count (DataObserverRunner's
+    moving-window meter, simplified to a rolling sum)."""
+    from datacollector_spark.lake import LakeTable
+    from datacollector_spark.model import KEY_COLUMNS, transcripts_schema
+    from datacollector_spark.sources.generator import ChangelogSpec, generate_changelog
+    from datacollector_spark.streaming import CdcIngestPipeline
+    from datacollector_spark.streaming.pipeline import DataRule
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), transcripts_schema(), KEY_COLUMNS, num_buckets=2
+    )
+    batches = [
+        generate_changelog(spark, ChangelogSpec(n_events=2000, n_conversations=50, seed=s))
+        for s in (1, 2, 3)
+    ]
+    per_batch = [b.where("op = 2").count() for b in batches]
+    # threshold above any single batch, within reach of the 3-batch window
+    threshold = max(per_batch) + 1
+    assert sum(per_batch) >= threshold
+    pipe = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "seg"),
+        table,
+        str(tmp_path / "ckpt"),
+        data_rules=[DataRule("drip", "op = 2", min_count=threshold, window_batches=3)],
+    )
+    for i, b in enumerate(batches):
+        pipe.apply_batch(b, batch_id=i)
+    drip = [a for a in pipe.alerts if a["rule"] == "drip"]
+    assert len(drip) >= 1  # no single batch reaches min_count; the window does
+    assert drip[0]["window_count"] >= threshold and drip[0]["window_batches"] == 3
+
+
+def test_parse_collectd_ground_truth(spark):
+    """Synthetic collectd binary packet (struct.pack ground truth per the
+    public network-protocol spec): string/number parts set state, VALUES
+    parts emit typed rows; gauge is a little-endian double on the wire."""
+    import struct
+
+    from datacollector_spark.sources.formats import parse_collectd
+
+    def part_str(ptype, s):
+        body = s.encode() + b"\0"
+        return struct.pack(">HH", ptype, 4 + len(body)) + body
+
+    def part_num(ptype, v):
+        return struct.pack(">HHQ", ptype, 12, v)
+
+    values = (
+        struct.pack(">HH", 0x0006, 4 + 2 + 2 * 9)
+        + struct.pack(">H", 2)
+        + bytes([1, 0])  # gauge, counter
+        + struct.pack("<d", 0.75)  # gauge: LE double
+        + struct.pack(">Q", 4242)  # counter: BE uint64
+    )
+    pkt = (
+        part_str(0x0000, "host-1")
+        + part_num(0x0008, 1735732800 << 30)  # high-res time
+        + part_str(0x0002, "cpu")
+        + part_str(0x0003, "0")
+        + part_str(0x0004, "cpu")
+        + part_str(0x0005, "idle")
+        + part_num(0x0007, 10)  # interval
+        + values
+        + struct.pack(">HH", 0x0200, 8) + b"\0\0\0\0"  # encrypted part: skipped
+    )
+    df = spark.createDataFrame([(pkt,), (b"\x00",)], "payload binary")  # + malformed
+    rows = parse_collectd(df).orderBy("value_idx").collect()
+    assert len(rows) == 2
+    g, c = rows
+    assert g["host"] == "host-1" and g["plugin"] == "cpu" and g["type_instance"] == "idle"
+    assert g["time_s"] == 1735732800 and g["interval_s"] == 10
+    assert g["value_type"] == "gauge" and abs(g["value"] - 0.75) < 1e-12
+    assert c["value_type"] == "counter" and c["value"] == 4242.0
+
+
 def test_image_decode_upgrades_when_pil_present(spark):
     """The decode stub self-upgrades to a real codec when PIL exists; the
     synthetic (non-image) gate payloads keep the deterministic fake path
