@@ -202,6 +202,32 @@ def main() -> None:
         )
     )
 
+    # 10) content-defined chunking: pure projection — fuses into the scan
+    p = plan_of(qs["text_cdc_chunks"](spark, sf_dir))
+    checks.append(
+        (
+            "content-defined chunks (text_cdc_chunks)",
+            p,
+            [
+                ("no exchange (single pass)", "Exchange" not in p),
+                ("no python eval", "Python" not in p),
+            ],
+        )
+    )
+
+    # 11) SPLIT lookup: broadcast join, never sort-merge
+    p = plan_of(qs["lookup_split_multiplicity"](spark, sf_dir))
+    checks.append(
+        (
+            "SPLIT lookup join strategy",
+            p,
+            [
+                ("broadcast hash join", "BroadcastHashJoin" in p),
+                ("no sort-merge join", "SortMergeJoin" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
