@@ -309,11 +309,14 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard >= threshold via inverted shingle index:
-    explode shingles, self-join on shingle, count shared, size-join for the
-    union. Shuffle key = shingle; no full cross-product ever exists.
+    explode shingles, group by shingle into posting lists, expand in-list
+    pairs, count shared, size-join for the union. Shuffle key = shingle; no
+    full cross-product ever exists, and (bucket expansion, the minhash
+    template) the shingle pipeline feeds ONE exchange — a self-join would
+    evaluate the explode+dedup per side and shuffle it twice.
 
     ``max_shingle_df`` drops shingles whose document frequency exceeds the
-    cap BEFORE the self-join (sizes then count the capped sets, so Jaccard
+    cap BEFORE pair expansion (sizes then count the capped sets, so Jaccard
     stays an honest set similarity over the retained shingles). Without it
     a corpus-scale stop-shingle ("the quick brown", df=10^6) would create a
     10^12-pair bucket; with it the worst bucket is max_shingle_df^2 pairs.
@@ -331,10 +334,26 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(heavy, "_s", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    posting = (
+        sh.groupBy("_s")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
     shared = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        posting.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ids",
+                        lambda x, i: F.transform(
+                            F.slice("_ids", i + 2, F.size("_ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_shared"))
     )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))

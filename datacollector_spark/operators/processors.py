@@ -480,3 +480,63 @@ def jdbc_tee(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     return df, writer
+
+
+def elasticsearch_sink(
+    df: DataFrame,
+    index: str,
+    transport: Callable[[str], dict] | None = None,
+    id_column: str | None = None,
+    op: str = "index",
+    batch_size: int = 500,
+) -> DataFrame:
+    """Elasticsearch destination archetype (elasticsearch-protolib/.../
+    ElasticSearchDTarget.java): documents posted to the _bulk API as
+    action+source NDJSON pairs, ``id_column`` -> _id (the reference's
+    document-ID expression), ``op`` = index | create | update | delete
+    (its default-operation config).
+
+    Scale shape: runs inside mapInPandas — one Arrow batch per partition,
+    chunked to ``batch_size`` docs per _bulk call (the reference's
+    batch-size knob); concurrency = partitions, exactly how es-hadoop
+    parallelizes. ``transport`` takes the NDJSON body and returns the
+    parsed _bulk response dict; inject a real client
+    (requests.post(es/_bulk)) in production — this sandbox has no network,
+    so the default raises with a clear message. Returns one row per Arrow
+    batch with (docs_indexed, errors) — the sink's per-batch meters."""
+
+    def default_transport(body: str) -> dict:
+        raise RuntimeError(
+            "elasticsearch_sink needs a transport (no network in this "
+            "environment); inject transport=lambda ndjson_body: {...}"
+        )
+
+    fn = transport or default_transport
+    cols = df.columns
+
+    def run(batches):
+        import json as _json
+
+        for pdf in batches:
+            total, errors = 0, 0
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                lines: list[str] = []
+                for rec in chunk.to_dict("records"):
+                    action: dict = {"_index": index}
+                    if id_column is not None:
+                        action["_id"] = rec[id_column]
+                    lines.append(_json.dumps({op: action}))
+                    if op != "delete":
+                        lines.append(_json.dumps(rec, default=str))
+                resp = fn("\n".join(lines) + "\n")
+                items = resp.get("items", [])
+                total += len(items)
+                errors += sum(
+                    1
+                    for it in items
+                    if next(iter(it.values())).get("status", 200) >= 300
+                )
+            yield pd.DataFrame({"docs_indexed": [total], "errors": [errors]})
+
+    return df.select(*cols).mapInPandas(run, "docs_indexed long, errors long")

@@ -151,6 +151,39 @@ def test_data_rule_moving_window_meter(spark, tmp_path):
     assert drip[0]["window_count"] >= threshold and drip[0]["window_batches"] == 3
 
 
+def test_elasticsearch_sink_bulk_wiring(spark):
+    """Bulk NDJSON shape + per-batch meters with an injected transport
+    (ElasticSearchDTarget analog; no network in sandbox)."""
+    import json
+
+    from datacollector_spark.operators.processors import elasticsearch_sink
+
+    def fake_transport(body: str) -> dict:
+        # runs on the EXECUTOR: validate the bulk shape here and fail the
+        # job on mismatch (a driver-side capture list would stay empty)
+        lines = body.strip().split("\n")
+        assert len(lines) % 2 == 0, "action+source pairs expected"
+        items = []
+        for k in range(0, len(lines), 2):
+            action, source = json.loads(lines[k]), json.loads(lines[k + 1])
+            meta = action["index"]
+            assert meta["_index"] == "docs-v1"
+            assert meta["_id"] == source["doc_id"]
+            assert set(source) == {"doc_id", "text"}
+            items.append({"index": {"status": 201}})
+        items[-1] = {"index": {"status": 400}}  # one failure per bulk call
+        return {"items": items}
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    ).coalesce(1)
+    res = elasticsearch_sink(
+        df, "docs-v1", transport=fake_transport, id_column="doc_id", batch_size=2
+    ).collect()
+    assert sum(r["docs_indexed"] for r in res) == 3
+    assert sum(r["errors"] for r in res) == 2  # one 400 per bulk call (2 calls)
+
+
 def test_parse_collectd_ground_truth(spark):
     """Synthetic collectd binary packet (struct.pack ground truth per the
     public network-protocol spec): string/number parts set state, VALUES
