@@ -110,9 +110,11 @@ last_per_key AS (
 _MD5LONG = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
 
 
-def _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4) -> str:
-    """DuckDB twin of dedup.minhash_lsh_pairs: same md5-derived 28-bit base,
-    same affine (a,b) literals, same band hashing — exact pair parity."""
+def _minhash_pairs_cte_block(num_hashes=32, bands=8, threshold=0.4) -> str:
+    """CTE chain ending in pairs(id_a, id_b, jaccard) — shared by the
+    minhash-LSH oracle and the connected-components oracle. Same md5-derived
+    28-bit base, same affine (a,b) literals, same band hashing as the Spark
+    operator — exact pair parity."""
     from datacollector_spark.functions.hashing import affine_params
     from datacollector_spark.operators.dedup import MINHASH_PRIME
 
@@ -120,8 +122,7 @@ def _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4) -> str:
     params = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(affine_params(num_hashes, MINHASH_PRIME))
     )
-    return f"""
-        WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
         hashed AS (
           SELECT doc_id, s,
                  CAST(('0x' || substring(md5(s),1,7)) AS BIGINT) AS base
@@ -146,13 +147,39 @@ def _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4) -> str:
           FROM cand c
           JOIN shingles sa ON sa.doc_id = c.id_a
           JOIN shingles sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-          GROUP BY c.id_a, c.id_b)
-        SELECT id_a, id_b,
-               ROUND(CAST(cnt AS DOUBLE) / (na.n + nb.n - cnt), 6) AS jaccard
-        FROM shared
-        JOIN sizes na ON na.doc_id = id_a
-        JOIN sizes nb ON nb.doc_id = id_b
-        WHERE CAST(cnt AS DOUBLE) / (na.n + nb.n - cnt) >= {threshold}
+          GROUP BY c.id_a, c.id_b),
+        pairs AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(cnt AS DOUBLE) / (na.n + nb.n - cnt), 6) AS jaccard
+          FROM shared
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE CAST(cnt AS DOUBLE) / (na.n + nb.n - cnt) >= {threshold})"""
+
+
+def _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs."""
+    return f"""
+        WITH {_minhash_pairs_cte_block(num_hashes, bands, threshold)}
+        SELECT id_a, id_b, jaccard FROM pairs
+    """
+
+
+def _components_oracle(num_hashes=32, bands=8, threshold=0.4) -> str:
+    """DuckDB twin of dedup.connected_components over the minhash pair
+    graph: recursive transitive closure, label = min reachable id — the
+    same fixpoint min-label propagation converges to in Spark."""
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_cte_block(num_hashes, bands, threshold)},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst)
+        SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
     """
 
 
@@ -808,6 +835,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Pairs -> clusters: connected components over the minhash near-dup
+    graph (min-label propagation to fixpoint) — the step that turns pair
+    evidence into corpus dedup decisions (keep min-id doc per component)."""
+    from datacollector_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        verify_threshold=0.4,
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("component"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from datacollector_spark.operators.dedup import simhash_near_pairs
 
@@ -975,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1325,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_cosine": _embedding_neardup_oracle(dim=64, planes=6, threshold=0.95),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4),
+        "dedup_components": _components_oracle(num_hashes=32, bands=8, threshold=0.4),
         "dedup_simhash": _simhash_oracle(max_hamming=3, chunks=4),
         "ann_lsh_topk": _ann_lsh_oracle(dim=64, planes=6, k=5),
         "multimodal_image_features": _media_features_oracle(dim=16),

@@ -173,8 +173,33 @@ def _run_leg(spark, segments_dir: str, cores: int) -> dict:
 
     pipe.on_batch_applied = _probe_hook
 
+    # IN-FLIGHT sampler: boundary probes are point samples and miss
+    # contention that starts and ends inside a micro-batch (observed: 2x
+    # wall swings with quiet boundary probes). One background thread samples
+    # noise+membw every ~10 s DURING the run — ~1.5% of one core out of 32;
+    # its timeline makes mid-batch contention visible in the artifact.
+    import threading
+
+    inflight: list[dict] = []
+    stop = threading.Event()
     t0 = time.time()
+
+    def _sampler():
+        while not stop.is_set():
+            inflight.append(
+                {
+                    "t": round(time.time() - t0, 1),
+                    "noise_s": _noise_probe(),
+                    "membw_gbps": _bandwidth_probe(),
+                }
+            )
+            stop.wait(10.0)
+
+    th = threading.Thread(target=_sampler, daemon=True)
+    th.start()
     pipe.run_available_now()
+    stop.set()
+    th.join(timeout=5)
     wall = time.time() - t0 - probe_cost[0]
 
     lin = (
@@ -199,6 +224,7 @@ def _run_leg(spark, segments_dir: str, cores: int) -> dict:
         "phase_timings": phase_timings,
         "noise_probe_s": probes,
         "membw_probe_gbps": bw_probes,
+        "inflight_probes": inflight,
         "steady_wall_s": round(ss_wall, 3),
         "steady_rows_collapsed": ss_rows,
     }
@@ -432,6 +458,7 @@ def main() -> None:
         "phase_timings": high["phase_timings"],
         "noise_probe_s": high["noise_probe_s"],
         "membw_probe_gbps": high["membw_probe_gbps"],
+        "inflight_probes": high["inflight_probes"],
         "cores": CPUS,
     }
 

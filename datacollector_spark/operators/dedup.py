@@ -184,6 +184,88 @@ def minhash_lsh_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair graph:
+    (node, component) where component = min node id in the component — the
+    step that turns pairwise near-dup evidence into dedup CLUSTERS (keep
+    one representative per component, drop the rest).
+
+    Min-label propagation to fixpoint: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds. Near-dup graphs are unions of small dense clusters
+    (diameter 1-3), so 2-4 rounds is typical at any corpus size; the loop
+    stops early at fixpoint and hard-stops at ``max_iter``. Each round is
+    one broadcast-or-shuffle join + hash aggregate, with localCheckpoint
+    per round to truncate lineage (the iterative-algorithm hygiene Spark
+    needs). For adversarial long-chain graphs swap in the large-star/
+    small-star algorithm (Kiveris et al.) — same join primitives,
+    O(log n) rounds."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_mn"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_mn"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_corpus_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Corpus dedup from pair evidence: keep ONE representative (min id)
+    per connected component of the near-dup graph, plus every unpaired
+    document. The end-to-end shape: pairs (minhash/simhash/embedding) ->
+    components -> survivors."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 SIMHASH_BITS = 60  # md5_long width: bit masks stay positive in int64
 
 

@@ -116,6 +116,37 @@ def test_collapse_packing_budget_raises(spark):
         lww_collapse(bad, key_columns=KEY_COLUMNS).collect()
 
 
+def test_budget_boundaries(spark, tmp_path):
+    """Exact edges of the packing budget: lsn = 2^47 - 1 packs fine
+    (packed = int64 max when seq = 0xFFFF); mongo ts = int64 max rescales
+    inside the budget; oracle SCN = 2^47 raises, 2^47 - 1 does not."""
+    from datacollector_spark.operators.collapse import lww_collapse
+    from datacollector_spark.sources.changelog_formats import (
+        decode_mongo_oplog,
+        decode_oracle_cdc,
+    )
+
+    edge = _batch(spark, [(1, (1 << 47) - 1, 0xFFFF, "c1", 1, "x")])
+    out = lww_collapse(edge, key_columns=KEY_COLUMNS).collect()
+    assert len(out) == 1  # packs to int64 max without overflow error
+
+    ts_max = (1 << 63) - 1
+    ev = {"op": "i", "ts": ts_max, "ns": "t", "o": {"conv_id": "c"}}
+    row = decode_mongo_oplog(
+        spark.createDataFrame([(json.dumps(ev),)], "raw string"), "raw"
+    ).first()
+    assert row["lsn"] == ts_max >> 16 and row["lsn"] < (1 << 47)
+
+    def scn_df(scn):
+        ev = {"OPERATION": 1, "SCN": scn, "SEQ": 0, "TABLE_NAME": "T",
+              "TIMESTAMP": 0, "DATA": {"conv_id": "c"}}
+        return spark.createDataFrame([(json.dumps(ev),)], "raw string")
+
+    assert decode_oracle_cdc(scn_df((1 << 47) - 1), "raw").first()["lsn"] == (1 << 47) - 1
+    with pytest.raises(Exception, match="LSN budget"):
+        decode_oracle_cdc(scn_df(1 << 47), "raw").collect()
+
+
 # ------------------------------------------------- commit key high-water mark
 def test_out_of_order_user_commit_keys_apply(spark, tmp_path):
     """merge() is public: numeric-tailed USER keys committed out of order

@@ -151,6 +151,28 @@ def test_data_rule_moving_window_meter(spark, tmp_path):
     assert drip[0]["window_count"] >= threshold and drip[0]["window_batches"] == 3
 
 
+def test_connected_components_chain_and_dedup(spark):
+    """Min-label propagation converges on a long chain (multi-iteration)
+    and corpus dedup keeps exactly one representative per component."""
+    from datacollector_spark.operators.dedup import (
+        connected_components,
+        dedup_corpus_by_pairs,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), separate pair (10,11), singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 5, 10, 11, 99]], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_corpus_by_pairs(docs, pairs, "doc_id").collect())
+    assert kept == [1, 10, 99]  # one per component + the unpaired doc
+
+
 def test_elasticsearch_sink_bulk_wiring(spark):
     """Bulk NDJSON shape + per-batch meters with an injected transport
     (ElasticSearchDTarget analog; no network in sandbox)."""
