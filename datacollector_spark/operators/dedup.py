@@ -403,26 +403,29 @@ def ngram_jaccard_pairs(
     a corpus-scale stop-shingle ("the quick brown", df=10^6) would create a
     10^12-pair bucket; with it the worst bucket is max_shingle_df^2 pairs.
     Standard trade-off: ubiquitous shingles carry ~no similarity signal."""
+    # (id, shingle) pairs are already distinct per doc (word_shingles is
+    # array_distinct), so no dedup pass is needed: the posting-list groupBy
+    # is the ONLY shingle-keyed exchange, and both downstream consumers
+    # (per-doc sizes, pair expansion) hang off it — Catalyst reuses the
+    # exchange instead of re-evaluating the shingle pipeline.
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
-    ).dropDuplicates(["_id", "_s"])
+    )
+    posting = sh.groupBy("_s").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
     if max_shingle_df is not None:
-        heavy = (
-            sh.groupBy("_s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_shingle_df)
-            .select("_s")
-        )
-        sh = sh.join(heavy, "_s", "left_anti")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    posting = (
-        sh.groupBy("_s")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-        .where(F.size("_ids") >= 2)
+        # the df-cap is free here: a posting list IS the document frequency
+        posting = posting.where(F.size("_ids") <= max_shingle_df)
+    # per-doc retained-shingle counts, derived from the SAME posting lists
+    # (so Jaccard is an honest set similarity over the retained shingles)
+    sizes = (
+        posting.select(F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     shared = (
-        posting.select(
+        posting.where(F.size("_ids") >= 2)
+        .select(
             F.explode(
                 F.flatten(
                     F.transform(

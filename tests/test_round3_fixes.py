@@ -116,6 +116,28 @@ def test_collapse_packing_budget_raises(spark):
         lww_collapse(bad, key_columns=KEY_COLUMNS).collect()
 
 
+def test_packed_order_is_lexicographic():
+    """Property: within the budget, the packed int64 order equals
+    lexicographic (lsn, seq) order — the invariant every LWW comparison
+    (in-batch collapse, cross-batch merge guard, MOR read winner) rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pairs = st.tuples(
+        st.integers(min_value=0, max_value=(1 << 47) - 1),
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=pairs, b=pairs)
+    def check(a, b):
+        pack = lambda p: (p[0] << 16) | p[1]
+        assert (pack(a) < pack(b)) == (a < b)
+        assert 0 <= pack(a) <= (1 << 63) - 1  # always a valid signed int64
+
+    check()
+
+
 def test_budget_boundaries(spark, tmp_path):
     """Exact edges of the packing budget: lsn = 2^47 - 1 packs fine
     (packed = int64 max when seq = 0xFFFF); mongo ts = int64 max rescales

@@ -215,6 +215,23 @@ def main() -> None:
         )
     )
 
+    # 11b) ngram Jaccard: ONE posting-list exchange on the shingle (the
+    # round-3 rewrite; the old self-join shuffled the shingle frame per side)
+    p = plan_of(qs["dedup_ngram_jaccard"](spark, sf_dir))
+    checks.append(
+        (
+            "ngram Jaccard posting-list expansion",
+            p,
+            [
+                (
+                    "exactly one shingle exchange",
+                    len(re.findall(r"hashpartitioning\(_s#", p)) == 1,
+                ),
+                ("no python eval", "Python" not in p),
+            ],
+        )
+    )
+
     # 11) SPLIT lookup: broadcast join, never sort-merge
     p = plan_of(qs["lookup_split_multiplicity"](spark, sf_dir))
     checks.append(
