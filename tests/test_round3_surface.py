@@ -151,6 +151,63 @@ def test_data_rule_moving_window_meter(spark, tmp_path):
     assert drip[0]["window_count"] >= threshold and drip[0]["window_batches"] == 3
 
 
+def test_assemble_conversations_stateful(spark, tmp_path):
+    """applyInPandasWithState session assembler: turns accumulate in keyed
+    state across micro-batches; a conversation is emitted (in turn order,
+    last-write-wins on replayed turns) once it goes quiet; still-active
+    conversations stay in state."""
+    import time
+
+    from datacollector_spark.streaming.stateful import assemble_conversations
+
+    seg = tmp_path / "turns"
+    seg.mkdir()
+    schema = "conv_id string, turn_idx int, role string, text string"
+    # file 1: conv c1, turns out of order + a turn later replayed
+    spark.createDataFrame(
+        [("c1", 1, "assistant", "OLD"), ("c1", 0, "user", "hi")], schema
+    ).coalesce(1).write.parquet(str(seg / "f1"))
+    time.sleep(0.05)
+    # file 2 (later batch): replay of c1 turn 1 with new text + new conv c2;
+    # processing it also fires c1's inactivity timeout from batch 1? No —
+    # c1 receives data in batch 2, so its timer resets; c2 stays active.
+    spark.createDataFrame(
+        [("c1", 1, "assistant", "hello"), ("c2", 0, "user", "solo")], schema
+    ).coalesce(1).write.parquet(str(seg / "f2"))
+    time.sleep(0.05)
+    # file 3: unrelated conv c3 — its batch fires c1's (now expired) timer
+    spark.createDataFrame([("c3", 0, "user", "x")], schema).coalesce(1).write.parquet(
+        str(seg / "f3")
+    )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(seg) + "/f*"
+    )
+    out = assemble_conversations(stream, inactivity_ms=1)
+    name = "asm_out"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["conv_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert "c1" in rows, f"expected c1 emitted, got {list(rows)}"
+    c1 = rows["c1"]
+    assert c1["n_turns"] == 2 and c1["first_turn"] == 0 and c1["last_turn"] == 1
+    # turn order restored; replayed turn 1 took the LAST text
+    assert c1["transcript"] == "user: hi\nassistant: hello"
+    assert c1["reason"] == "inactivity"
+    # the availableNow drain runs trailing batches that fire remaining
+    # expired timers, so still-quiet conversations flush at end-of-drain;
+    # whatever was emitted must be correctly assembled
+    expected = {"c1": c1["transcript"], "c2": "user: solo", "c3": "user: x"}
+    for cid, row in rows.items():
+        assert row["transcript"] == expected[cid] and row["reason"] == "inactivity"
+
+
 def test_connected_components_chain_and_dedup(spark):
     """Min-label propagation converges on a long chain (multi-iteration)
     and corpus dedup keeps exactly one representative per component."""
