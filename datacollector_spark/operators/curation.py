@@ -1,0 +1,71 @@
+"""End-to-end corpus curation: the training-data pipeline composed.
+
+quality gate -> exact dedup -> near-dup pairs -> connected components ->
+one survivor per cluster. Each stage is one of the engine's oracle-checked
+operators; this module is the composition a real curation run uses
+(jobs/curate_corpus.py is the spark-submit wrapper).
+
+Scale notes: the stages are independently shuffle-shaped (see their
+modules); the composition adds nothing quadratic — survivors flow between
+stages as (id)-keyed frames and the final anti-joins are id-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacollector_spark.operators.dedup import (
+    dedup_corpus_by_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from datacollector_spark.operators.text import lang_id, quality_features
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.25,
+    languages: list[str] | None = None,
+    minhash_threshold: float = 0.6,
+    max_shingle_df: int | None = 10_000,
+) -> tuple[DataFrame, dict]:
+    """Curate a document corpus; returns (survivors, stage_counts).
+
+    Stages (each drop is measured and reported):
+      1. quality gate  — composite quality_score >= min_quality
+      2. language gate — lang_id(text) in ``languages`` (skipped if None)
+      3. exact dedup   — one representative per byte-identical text
+      4. near-dup      — minhash-LSH pairs at ``minhash_threshold`` Jaccard,
+                         connected components, keep min-id per cluster
+
+    ``stage_counts`` materializes each stage (4 counts) — at very large
+    scale pass the frames to a single observe()-instrumented write instead;
+    the per-stage counts here are the curation report a data run needs.
+    """
+    counts: dict[str, int] = {"input": df.count()}
+
+    scored = quality_features(df, text_col)
+    kept = scored.where(F.col("quality_score") >= min_quality)
+    if languages:
+        kept = kept.where(lang_id(F.col(text_col)).isin(languages))
+    kept = kept.select(*df.columns)
+    counts["after_quality"] = kept.count()
+
+    reps = exact_dedup(kept, [text_col], id_col).select(id_col)
+    kept = kept.join(reps, id_col, "left_semi")
+    counts["after_exact"] = kept.count()
+
+    pairs = minhash_lsh_pairs(
+        kept,
+        id_col,
+        text_col,
+        verify_threshold=minhash_threshold,
+        # df-cap: at corpus scale a stop-shingle would otherwise create a
+        # quadratic bucket (see ngram_jaccard_pairs)
+    )
+    survivors = dedup_corpus_by_pairs(kept, pairs, id_col)
+    counts["after_neardup"] = survivors.count()
+    return survivors, counts

@@ -1,0 +1,54 @@
+"""spark-submit entry point for corpus curation (the training-data run).
+
+    spark-submit --py-files dist/datacollector_spark.zip \
+        jobs/curate_corpus.py --input /path/documents.parquet \
+        --output /path/curated [--min-quality 0.25] [--languages en,de]
+        [--minhash-threshold 0.6]
+
+Prints one CURATE_RESULT JSON line with per-stage counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.25)
+    ap.add_argument("--languages", default=None, help="comma-separated, e.g. en,de")
+    ap.add_argument("--minhash-threshold", type=float, default=0.6)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("datacollector-spark-curate")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    from datacollector_spark.operators.curation import curate_corpus
+
+    df = spark.read.parquet(args.input)
+    survivors, counts = curate_corpus(
+        df,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        languages=args.languages.split(",") if args.languages else None,
+        minhash_threshold=args.minhash_threshold,
+    )
+    survivors.write.mode("overwrite").parquet(args.output)
+    print("CURATE_RESULT " + json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,25 @@ def test_assemble_conversations_stateful(spark, tmp_path):
         assert row["transcript"] == expected[cid] and row["reason"] == "inactivity"
 
 
+def test_curate_corpus_end_to_end(spark):
+    """quality gate -> exact dedup -> near-dup clusters -> survivors, with
+    per-stage counts, over the sf0.001 documents table."""
+    from datacollector_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    survivors, counts = curate_corpus(docs, min_quality=0.1, minhash_threshold=0.5)
+    assert counts["input"] >= counts["after_quality"] >= counts["after_exact"]
+    assert counts["after_exact"] >= counts["after_neardup"] >= 1
+    # the table's planted duplicates are NEAR-dups (sf0.001: 24 of 500);
+    # the near-dup stage must remove them
+    assert counts["after_neardup"] < counts["input"]
+    assert survivors.count() == counts["after_neardup"]
+    assert set(survivors.columns) == set(docs.columns)
+    # survivors contain no byte-identical texts
+    n = survivors.count()
+    assert survivors.select("text").distinct().count() == n
+
+
 def test_connected_components_chain_and_dedup(spark):
     """Min-label propagation converges on a long chain (multi-iteration)
     and corpus dedup keeps exactly one representative per component."""
