@@ -113,6 +113,18 @@ def minhash_lsh_pairs(
     compute dominates one shuffle of raw text at every scale, and without
     it a corpus read as few splits (small files, huge row groups) serializes
     the expensive pass onto a handful of cores.
+
+    Mega-bucket hazard (and why it is handled upstream): a cluster of N
+    near-IDENTICAL documents puts N ids in the same band bucket — the
+    in-bucket expansion is N^2 pairs and the collect_list is O(N). The
+    curation composition (operators/curation.curate_corpus) runs
+    exact_dedup BEFORE minhash precisely so byte-identical mega-clusters
+    (the overwhelmingly common case) collapse to one id first; the residual
+    near-identical-but-unequal cluster is bounded by real edit diversity.
+    If a corpus still carries adversarial mega-clusters, cap them the way
+    ngram_jaccard_pairs caps stop-shingles: a (band, bh) count pass +
+    per-bucket truncation — connectivity within the cluster survives via
+    the remaining bands.
     """
     rows_per_band = num_hashes // bands
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
