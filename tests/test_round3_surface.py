@@ -208,6 +208,37 @@ def test_assemble_conversations_stateful(spark, tmp_path):
         assert row["transcript"] == expected[cid] and row["reason"] == "inactivity"
 
 
+def test_el_translation(spark):
+    """StreamSets EL strings -> Spark SQL: record paths, str:/math:/time:
+    functions, Java boolean operators."""
+    import pytest as _pytest
+
+    from datacollector_spark.functions.el import el_condition, el_expr, el_to_sql
+
+    cases = {
+        "${record:value('/text')}": "text",
+        "${record:value('/Data/text')}": "Data.text",
+        "${str:toUpper(record:value('/role'))}": "upper(role)",
+        "${record:value('/op') == 1 && !str:contains(text, 'x')}":
+            "op == 1 AND NOT contains(text, 'x')",
+        "${math:max(a, b) >= 3 || a != 4}": "greatest(a, b) >= 3 OR a != 4",
+        "${str:regExCapture(text, '(\\d+)', 1)}": "regexp_extract(text, '(\\d+)', 1)",
+    }
+    for el, sql in cases.items():
+        assert el_to_sql(el) == sql, el
+
+    df = spark.createDataFrame([(1, "user", "abc123")], "op int, role string, text string")
+    row = df.select(
+        el_expr("${str:toUpper(record:value('/role'))}").alias("r"),
+        el_expr("${str:regExCapture(record:value('/text'), '([0-9]+)', 1)}").alias("d"),
+        el_condition("${record:value('/op') == 1 && str:startsWith(text, 'abc')}").alias("c"),
+    ).first()
+    assert row["r"] == "USER" and row["d"] == "123" and row["c"] is True
+
+    with _pytest.raises(ValueError, match="unsupported EL function 'str:frobnicate'"):
+        el_to_sql("${str:frobnicate(text)}")
+
+
 def test_curate_corpus_end_to_end(spark):
     """quality gate -> exact dedup -> near-dup clusters -> survivors, with
     per-stage counts, over the sf0.001 documents table."""
