@@ -859,6 +859,39 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_corpus_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: pure function of
+    (doc_id, salt) — stable across runs/partitionings/engines, never
+    reassigns existing docs when the corpus grows."""
+    from datacollector_spark.operators.curation import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+def _hash_split_oracle(fractions, salt="split-v1") -> str:
+    """DuckDB twin of curation.hash_split: identical md5-60bit uniform and
+    the IDENTICAL Python-accumulated threshold literals (0.8 + 0.1 is
+    0.9000000000000001 in both engines only if the same repr is inlined)."""
+    from datacollector_spark.functions.hashing import md5_long_sql
+
+    u = f"CAST({md5_long_sql('CAST(doc_id AS VARCHAR)', salt)} AS DOUBLE) / {float(1 << 60)!r}"
+    names = list(fractions)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        whens.append(f"WHEN u < {cum!r} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+        SELECT doc_id, {case} AS split
+        FROM (SELECT doc_id, {u} AS u FROM documents)
+    """
+
+
 def q_dedup_simhash(spark, sf_dir):
     from datacollector_spark.operators.dedup import simhash_near_pairs
 
@@ -1028,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
+        "corpus_hash_split": q_corpus_hash_split,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_quality": q_text_quality,
@@ -1378,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _embedding_neardup_oracle(dim=64, planes=6, threshold=0.95),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4),
         "dedup_components": _components_oracle(num_hashes=32, bands=8, threshold=0.4),
+        "corpus_hash_split": _hash_split_oracle({"train": 0.8, "val": 0.1, "test": 0.1}),
         "dedup_simhash": _simhash_oracle(max_hamming=3, chunks=4),
         "ann_lsh_topk": _ann_lsh_oracle(dim=64, planes=6, k=5),
         "multimodal_image_features": _media_features_oracle(dim=16),

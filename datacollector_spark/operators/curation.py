@@ -69,3 +69,38 @@ def curate_corpus(
     survivors = dedup_corpus_by_pairs(kept, pairs, id_col)
     counts["after_neardup"] = survivors.count()
     return survivors, counts
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash —
+    the held-out-split step of a training-data run. Unlike sample()/
+    randomSplit(), the assignment is a PURE FUNCTION of (id, salt): stable
+    across runs, partitionings, Spark versions and engines (md5-derived, so
+    a SQL oracle reproduces it exactly), and adding documents later never
+    reassigns existing ones. Changing ``salt`` draws a fresh split.
+
+    ``fractions``: {split_name: fraction} summing to 1.0 (validated);
+    assignment by cumulative thresholds over u = md5_60bit(id||salt)/2^60.
+    Adds a ``split`` column; one projection, no shuffle."""
+    from datacollector_spark.functions.hashing import md5_long
+
+    fractions = fractions or {"train": 0.9, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    u = md5_long(F.col(id_col).cast("string"), salt=salt) / F.lit(float(1 << 60))
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = F.when(u < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(u < cum, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -208,6 +208,39 @@ def test_assemble_conversations_stateful(spark, tmp_path):
         assert row["transcript"] == expected[cid] and row["reason"] == "inactivity"
 
 
+def test_hash_split_stable_and_complete(spark):
+    """hash_split: pure function of (id, salt) — identical across
+    partitionings, never reassigns when the corpus grows, fractions
+    validated, all rows assigned."""
+    import pytest as _pytest
+
+    from datacollector_spark.operators.curation import hash_split
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = hash_split(docs.repartition(1), "doc_id", {"train": 0.8, "test": 0.2})
+    b = hash_split(docs.repartition(13, "doc_id"), "doc_id", {"train": 0.8, "test": 0.2})
+    ma = {r["doc_id"]: r["split"] for r in a.collect()}
+    mb = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert ma == mb and len(ma) == 1000
+    frac = sum(1 for v in ma.values() if v == "train") / 1000
+    assert 0.74 < frac < 0.86
+    # growing the corpus never reassigns existing ids
+    grown = hash_split(
+        spark.range(2000).withColumnRenamed("id", "doc_id"), "doc_id",
+        {"train": 0.8, "test": 0.2},
+    )
+    mg = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(mg[k] == v for k, v in ma.items())
+    # a different salt draws a genuinely different split
+    ms = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2}, salt="v2").collect()
+    }
+    assert ms != ma
+    with _pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(docs, "doc_id", {"train": 0.5, "test": 0.2})
+
+
 def test_el_translation(spark):
     """StreamSets EL strings -> Spark SQL: record paths, str:/math:/time:
     functions, Java boolean operators."""
