@@ -3,22 +3,40 @@
 The reference configures predicates and computed fields as EL strings —
 ``${record:value('/a/b') == 'x'}`` — evaluated per record
 (container/.../el/ELEvaluatorImpl.java; function libraries RecordEL,
-StringEL, MathEL, TimeEL in container/.../el/*EL.java). The engine's
-native surface is Spark SQL via ``F.expr``; this shim translates the
-common EL vocabulary so existing pipeline configs port without rewriting
-every expression by hand.
+StringEL, TimeNowEL in common/.../lib/el/*EL.java). The engine's native
+surface is Spark SQL via ``F.expr``; this shim translates the common EL
+vocabulary so existing pipeline configs port without rewriting every
+expression by hand.
 
-Coverage (the functions the stock pipelines actually use):
-  * ``record:value('/path')`` -> column reference (nested path -> dots)
-  * ``record:attribute('name')`` -> envelope column (headers are columns
-    here — SURVEY §1.2: Spark has no per-row side channel)
+Coverage:
+  * ``record:`` value / attribute / valueOrDefault / exists / type
   * ``str:`` toUpper/toLower/trim/substring/replace/replaceAll/concat/
-    length/contains/startsWith/endsWith/indexOf/regExCapture/truncate
+    length/contains/startsWith/endsWith/indexOf/regExCapture/truncate/
+    matches/urlEncode/urlDecode
   * ``math:`` abs/ceil/floor/max/min
-  * ``time:`` now, millisecondsToDateTime, dateTimeToMilliseconds,
-    extractStringFromDate
+  * ``time:`` now, trimDate, trimTime, millisecondsToDateTime,
+    dateTimeToMilliseconds, extractStringFromDate
   * literals, arithmetic and comparison operators pass through
     (EL and SQL share them); ``&&``/``||``/``!`` -> AND/OR/NOT
+
+Semantics are translated, not just names (StringEL.java:46-67 is JAVA
+substring — 0-based beginIndex, exclusive endIndex — while SQL substr is
+1-based position + LENGTH; indexOf is 0-based/-1-on-miss vs instr's
+1-based/0-on-miss; str:matches anchors the whole string like Java
+``String.matches``; time:trimDate/trimTime follow TimeNowEL.java:54-80,
+which keeps sub-second millis). All operator/function rewriting is
+literal-safe: single-quoted strings are never touched, so
+``== 'a&&b'`` survives the ``&&`` -> AND pass intact.
+
+Known approximations (documented, columnar data model — SURVEY §1.2):
+  * ``record:exists('/p')`` -> ``p IS NOT NULL`` — Spark columns have no
+    present-but-null state; absent ≈ NULL here.
+  * ``str:urlEncode/urlDecode`` drop the charset argument (UTF-8 only).
+  * ``str:truncate(NULL, n)`` yields NULL (reference returns "").
+  * ``drift:*`` (hive-protolib metadata drift) is not expression-level in
+    this engine: schema drift is handled natively by the lake layer's
+    schema evolution (lake/table.py merge_schema) — drift EL calls raise
+    with that pointer.
 
 Unknown ``ns:fn`` calls raise with the offending name — silently passing
 them through would fail later inside Catalyst with a worse message.
@@ -40,6 +58,7 @@ _FN_MAP = {
     "str:concat": "concat",
     "str:replace": "replace",
     "str:replaceAll": "regexp_replace",
+    "str:regExCapture": "regexp_extract",  # (str, regex, group) — same order
     "str:contains": "contains",
     "str:startsWith": "startswith",
     "str:endsWith": "endswith",
@@ -50,17 +69,234 @@ _FN_MAP = {
     "math:min": "least",
     "time:millisecondsToDateTime": "timestamp_millis",
     "time:extractStringFromDate": "date_format",
+    "time:dateTimeToMilliseconds": "unix_millis",
 }
 
-_RECORD_VALUE = re.compile(r"record:value\(\s*'([^']*)'\s*\)")
-_RECORD_ATTR = re.compile(r"record:attribute\(\s*'([^']*)'\s*\)")
+_LITERAL_SPLIT = re.compile(r"('[^']*')")
 _NS_FN = re.compile(r"\b([A-Za-z]+):([A-Za-z]+)\s*\(")
+_INT = re.compile(r"^-?\d+$")
+
+# Spark typeof() -> SDC Field.Type name (api/.../Field.java Type enum)
+_SDC_TYPE_CASE = (
+    "CASE WHEN typeof({c}) LIKE 'decimal%' THEN 'DECIMAL' "
+    "WHEN typeof({c}) LIKE 'map%' THEN 'MAP' "
+    "WHEN typeof({c}) LIKE 'array%' THEN 'LIST' "
+    "WHEN typeof({c}) LIKE 'struct%' THEN 'LIST_MAP' "
+    "ELSE CASE typeof({c}) WHEN 'string' THEN 'STRING' "
+    "WHEN 'int' THEN 'INTEGER' WHEN 'bigint' THEN 'LONG' "
+    "WHEN 'smallint' THEN 'SHORT' WHEN 'tinyint' THEN 'BYTE' "
+    "WHEN 'double' THEN 'DOUBLE' WHEN 'float' THEN 'FLOAT' "
+    "WHEN 'boolean' THEN 'BOOLEAN' WHEN 'date' THEN 'DATE' "
+    "WHEN 'timestamp' THEN 'DATETIME' WHEN 'timestamp_ntz' THEN 'DATETIME' "
+    "WHEN 'binary' THEN 'BYTE_ARRAY' ELSE upper(typeof({c})) END END"
+)
 
 
 def _path_to_column(path: str) -> str:
     """'/Data/text' -> Data.text ; '/text' -> text ; "/a[2]/b" -> a[2].b"""
     parts = [p for p in path.split("/") if p]
     return ".".join(parts)
+
+
+path_to_column = _path_to_column  # public: config porting (plans/spec.py)
+
+
+def _map_code_segments(s: str, fn) -> str:
+    """Apply ``fn`` to the non-literal segments of ``s`` only; single-quoted
+    literals pass through untouched (re.split with a capture group yields
+    [code, literal, code, literal, ...])."""
+    parts = _LITERAL_SPLIT.split(s)
+    return "".join(p if i % 2 else fn(p) for i, p in enumerate(parts))
+
+
+def _literal_spans(s: str) -> list[tuple[int, int]]:
+    return [m.span() for m in _LITERAL_SPLIT.finditer(s)]
+
+
+def _split_top_args(argstr: str) -> list[str]:
+    """Split a call's argument string on top-level commas (quote- and
+    paren-aware)."""
+    args, depth, in_q, start = [], 0, False, 0
+    for i, ch in enumerate(argstr):
+        if in_q:
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(argstr[start:i].strip())
+            start = i + 1
+    tail = argstr[start:].strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def _rewrite_calls(s: str, name: str, build) -> str:
+    """Replace every ``name( args )`` call outside string literals with
+    ``build(args_list)``. Paren matching is quote-aware, so arguments may
+    contain literals, commas-in-literals, and nested calls; rewriting
+    proceeds innermost-last (the outer call is rebuilt from already-final
+    text only if ``build`` leaves the args as-is — nested special forms are
+    handled by the caller's fixpoint loop in :func:`el_to_sql`)."""
+    pat = re.compile(r"\b" + re.escape(name).replace(r"\:", ":") + r"\s*\(")
+    while True:
+        spans = _literal_spans(s)
+        m = None
+        for cand in pat.finditer(s):
+            if not any(a <= cand.start() < b for a, b in spans):
+                m = cand
+                break
+        if m is None:
+            return s
+        depth, in_q, j = 1, False, m.end()
+        while j < len(s) and depth:
+            ch = s[j]
+            if in_q:
+                in_q = ch != "'"
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced parentheses in EL call {name!r}: {s!r}")
+        args = _split_top_args(s[m.end(): j - 1])
+        s = s[: m.start()] + build(args) + s[j:]
+
+
+def _quoted(arg: str) -> str | None:
+    """The string inside ``arg`` if it is a plain quoted literal, else None."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'" and "'" not in a[1:-1]:
+        return a[1:-1]
+    return None
+
+
+def _record_path_arg(fn: str, args: list[str]) -> str:
+    p = _quoted(args[0]) if args else None
+    if p is None:
+        raise ValueError(f"{fn} requires a quoted field path, got {args!r}")
+    return _path_to_column(p)
+
+
+def _sub(a: str, delta: int) -> str:
+    """``a + delta`` folded when ``a`` is an int literal."""
+    if _INT.match(a.strip()):
+        return str(int(a.strip()) + delta)
+    return f"({a}) + {delta}" if delta >= 0 else f"({a}) - {-delta}"
+
+
+# special forms: ns:fn -> builder(args) -> SQL text. Each translates
+# ARGUMENTS, not just the name (Java vs SQL indexing conventions).
+def _special_forms() -> dict:
+    def substring(args):
+        if len(args) != 3:
+            raise ValueError("str:substring takes (string, beginIndex, endIndex)")
+        s, b, e = args
+        # Java: 0-based begin, exclusive end (clamped to length; begin>len
+        # -> ""). SQL substr: 1-based pos + LENGTH; it clamps the same way
+        # and returns '' for non-positive length, matching the e<=b case.
+        if _INT.match(b.strip()) and _INT.match(e.strip()):
+            length = str(int(e.strip()) - int(b.strip()))
+        else:
+            length = f"({e}) - ({b})"
+        return f"substr({s}, {_sub(b, 1)}, {length})"
+
+    def index_of(args):
+        if len(args) != 2:
+            raise ValueError("str:indexOf takes (string, substring)")
+        # Java indexOf: 0-based, -1 on miss; instr: 1-based, 0 on miss
+        return f"(instr({args[0]}, {args[1]}) - 1)"
+
+    def matches(args):
+        if len(args) != 2:
+            raise ValueError("str:matches takes (string, regex)")
+        s, rx = args
+        lit = _quoted(rx)
+        if lit is not None:
+            return f"regexp_like({s}, '^(?:{lit})$')"
+        return f"regexp_like({s}, concat('^(?:', {rx}, ')$'))"
+
+    def url_code(sql_fn):
+        def build(args):
+            # charset arg (if present) is dropped: Spark url_encode/_decode
+            # are UTF-8 only (the only charset stock configs use)
+            return f"{sql_fn}({args[0]})"
+
+        return build
+
+    def trim_date(args):
+        # TimeNowEL.trimDate: date fields -> 1970-01-01, time-of-day KEPT
+        # (including millis). time-of-day = millis since local midnight.
+        (d,) = args
+        return (
+            f"timestamp_millis(unix_millis({d}) - "
+            f"unix_millis(date_trunc('DAY', {d})))"
+        )
+
+    def trim_time(args):
+        # TimeNowEL.trimTime zeroes h/m/s but NOT millis (Date.setHours/
+        # setMinutes/setSeconds) — midnight + millis-within-second.
+        (d,) = args
+        return (
+            f"timestamp_millis(unix_millis(date_trunc('DAY', {d})) + "
+            f"pmod(unix_millis({d}), 1000))"
+        )
+
+    def rec_value(args):
+        return _record_path_arg("record:value", args)
+
+    def rec_value_or_default(args):
+        if len(args) != 2:
+            raise ValueError("record:valueOrDefault takes (path, default)")
+        return f"coalesce({_record_path_arg('record:valueOrDefault', args)}, {args[1]})"
+
+    def rec_exists(args):
+        return f"({_record_path_arg('record:exists', args)} IS NOT NULL)"
+
+    def rec_type(args):
+        return _SDC_TYPE_CASE.format(c=_record_path_arg("record:type", args))
+
+    def drift(args):
+        raise ValueError(
+            "drift:* EL is not expression-level here — schema drift is "
+            "handled natively by lake schema evolution (lake/table.py)"
+        )
+
+    def truncate(args):
+        if len(args) != 2:
+            raise ValueError("str:truncate takes (string, endIndex)")
+        return f"left({args[0]}, {args[1]})"
+
+    return {
+        "record:value": rec_value,
+        "record:attribute": rec_value,  # headers are columns here (SURVEY §1.2)
+        "record:valueOrDefault": rec_value_or_default,
+        "record:exists": rec_exists,
+        "record:type": rec_type,
+        "str:substring": substring,
+        "str:indexOf": index_of,
+        "str:matches": matches,
+        "str:urlEncode": url_code("url_encode"),
+        "str:urlDecode": url_code("url_decode"),
+        "str:truncate": truncate,
+        "time:trimDate": trim_date,
+        "time:trimTime": trim_time,
+        "drift:names": drift,
+        "drift:type": drift,
+        "drift:size": drift,
+        "drift:order": drift,
+    }
+
+
+_SPECIAL = _special_forms()
 
 
 def el_to_sql(el: str) -> str:
@@ -70,20 +306,19 @@ def el_to_sql(el: str) -> str:
     if s.startswith("${") and s.endswith("}"):
         s = s[2:-1]
 
-    s = _RECORD_VALUE.sub(lambda m: _path_to_column(m.group(1)), s)
-    s = _RECORD_ATTR.sub(lambda m: _path_to_column(m.group(1)), s)
+    # special forms (argument-translating): fixpoint so nested special
+    # calls — str:substring(record:value('/a'), 0, str:indexOf(x, 'b')) —
+    # resolve inner-to-outer across passes
+    for _ in range(32):
+        before = s
+        for name, build in _SPECIAL.items():
+            s = _rewrite_calls(s, name, build)
+        if s == before:
+            break
+    else:  # pragma: no cover — 32 nesting levels of special forms
+        raise ValueError(f"EL expression too deeply nested: {el!r}")
 
-    # special forms whose arguments reorder or whose names need fixups
-    s = re.sub(r"\bstr:substring\s*\(", "substr(", s)  # same (str, start, end)-ish
-    s = re.sub(r"\bstr:truncate\s*\(", "left(", s)
-    s = re.sub(r"\bstr:indexOf\s*\(", "instr(", s)
-    s = re.sub(
-        r"\bstr:regExCapture\s*\(", "regexp_extract(", s
-    )  # (str, regex, group) — same order
     s = re.sub(r"\btime:now\s*\(\s*\)", "current_timestamp()", s)
-    s = re.sub(
-        r"\btime:dateTimeToMilliseconds\s*\(", "unix_millis(", s
-    )
 
     def repl(m: re.Match) -> str:
         key = f"{m.group(1)}:{m.group(2)}"
@@ -94,13 +329,15 @@ def el_to_sql(el: str) -> str:
             "or rewrite the expression in Spark SQL"
         )
 
-    s = _NS_FN.sub(repl, s)
+    def code_pass(seg: str) -> str:
+        seg = _NS_FN.sub(repl, seg)
+        # boolean operators: EL uses Java syntax, SQL uses keywords. '!'
+        # only when not '!=' (negation vs inequality).
+        seg = seg.replace("&&", " AND ").replace("||", " OR ")
+        seg = re.sub(r"!(?!=)", " NOT ", seg)
+        return re.sub(r"\s+", " ", seg)
 
-    # boolean operators: EL uses Java syntax, SQL uses keywords. '!' only
-    # when not '!=' (negation vs inequality).
-    s = s.replace("&&", " AND ").replace("||", " OR ")
-    s = re.sub(r"!(?!=)", " NOT ", s)
-    return re.sub(r"\s+", " ", s).strip()
+    return _map_code_segments(s, code_pass).strip()
 
 
 def el_expr(el: str) -> Column:

@@ -30,7 +30,7 @@ def curate_corpus(
     min_quality: float = 0.25,
     languages: list[str] | None = None,
     minhash_threshold: float = 0.6,
-    max_shingle_df: int | None = 10_000,
+    max_bucket_size: int | None = 1_000,
 ) -> tuple[DataFrame, dict]:
     """Curate a document corpus; returns (survivors, stage_counts).
 
@@ -41,9 +41,18 @@ def curate_corpus(
       4. near-dup      — minhash-LSH pairs at ``minhash_threshold`` Jaccard,
                          connected components, keep min-id per cluster
 
-    ``stage_counts`` materializes each stage (4 counts) — at very large
-    scale pass the frames to a single observe()-instrumented write instead;
-    the per-stage counts here are the curation report a data run needs.
+    ``max_bucket_size`` caps each minhash band bucket (the mega-bucket
+    defense for near-identical-but-UNEQUAL clusters that survive stage 3 —
+    templated spam, boilerplate; see minhash_lsh_pairs). With cap C the
+    worst bucket contributes C^2 verify pairs per band instead of N^2.
+
+    Each inter-stage frame is persisted before its count so the report
+    costs one pipeline pass total: without the persist, the exact-dedup
+    count would recompute the quality projection, the minhash pass would
+    recompute both, and the final count the whole chain — a 3-4x
+    multiplier at exactly the corpus scale this module targets. The
+    returned ``survivors`` frame is left persisted (it was just counted);
+    callers unpersist after writing.
     """
     counts: dict[str, int] = {"input": df.count()}
 
@@ -51,23 +60,26 @@ def curate_corpus(
     kept = scored.where(F.col("quality_score") >= min_quality)
     if languages:
         kept = kept.where(lang_id(F.col(text_col)).isin(languages))
-    kept = kept.select(*df.columns)
+    kept = kept.select(*df.columns).persist()
     counts["after_quality"] = kept.count()
 
     reps = exact_dedup(kept, [text_col], id_col).select(id_col)
-    kept = kept.join(reps, id_col, "left_semi")
-    counts["after_exact"] = kept.count()
+    deduped = kept.join(reps, id_col, "left_semi").persist()
+    counts["after_exact"] = deduped.count()
 
     pairs = minhash_lsh_pairs(
-        kept,
+        deduped,
         id_col,
         text_col,
         verify_threshold=minhash_threshold,
-        # df-cap: at corpus scale a stop-shingle would otherwise create a
-        # quadratic bucket (see ngram_jaccard_pairs)
+        max_bucket_size=max_bucket_size,
     )
-    survivors = dedup_corpus_by_pairs(kept, pairs, id_col)
+    survivors = dedup_corpus_by_pairs(deduped, pairs, id_col).persist()
     counts["after_neardup"] = survivors.count()
+    # survivors is materialized in cache by the count above; its upstream
+    # cached stages can be released now
+    kept.unpersist()
+    deduped.unpersist()
     return survivors, counts
 
 

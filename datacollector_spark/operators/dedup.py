@@ -96,6 +96,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     verify_threshold: float | None = 0.6,
     spread: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) via banded minhash LSH, verified
     with exact shingle Jaccard.
@@ -114,17 +115,25 @@ def minhash_lsh_pairs(
     it a corpus read as few splits (small files, huge row groups) serializes
     the expensive pass onto a handful of cores.
 
-    Mega-bucket hazard (and why it is handled upstream): a cluster of N
-    near-IDENTICAL documents puts N ids in the same band bucket — the
-    in-bucket expansion is N^2 pairs and the collect_list is O(N). The
-    curation composition (operators/curation.curate_corpus) runs
-    exact_dedup BEFORE minhash precisely so byte-identical mega-clusters
-    (the overwhelmingly common case) collapse to one id first; the residual
-    near-identical-but-unequal cluster is bounded by real edit diversity.
-    If a corpus still carries adversarial mega-clusters, cap them the way
-    ngram_jaccard_pairs caps stop-shingles: a (band, bh) count pass +
-    per-bucket truncation — connectivity within the cluster survives via
-    the remaining bands.
+    Mega-bucket hazard: a cluster of N near-IDENTICAL documents puts N ids
+    in the same band bucket — the in-bucket expansion is N^2 pairs and the
+    collect_list is O(N). Two defenses, both on by design:
+      1. upstream: the curation composition (operators/curation.
+         curate_corpus) runs exact_dedup BEFORE minhash so byte-identical
+         mega-clusters (the overwhelmingly common case) collapse to one id
+         first;
+      2. ``max_bucket_size``: per-(band, band_hash) truncation — a
+         row_number window over the band exchange keeps only the
+         ``max_bucket_size`` smallest ids per bucket BEFORE the
+         collect_list, bounding both the bucket row (O(cap)) and the pair
+         expansion (O(cap^2)). Deterministic (min-id order); cluster
+         connectivity for the retained ids survives via the remaining
+         bands, and the downstream connected-components pass reunites what
+         any single band's truncation split. The window sorts within the
+         SAME (band, bh) exchange the groupBy needs, so the cap adds no
+         extra shuffle. The analog of the reference's bounded dedup window
+         (basic-lib/.../dedup/DeDupProcessor.java:122-141). None = uncapped
+         (exact pair-set oracle parity for the gate query).
     """
     rows_per_band = num_hashes // bands
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
@@ -163,28 +172,21 @@ def minhash_lsh_pairs(
     # locally AQE broadcasts one side, which defeats exchange reuse; at
     # cluster scale the join shuffles the banded frame twice). Buckets are
     # tiny by LSH design, so the within-bucket pair blowup is bounded.
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_band", "_bh").orderBy("_id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     grouped = (
         banded.groupBy("_band", "_bh")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
         .where(F.size("_ids") >= 2)
     )
-    cand = (
-        grouped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "_ids",
-                        lambda x, i: F.transform(
-                            F.slice("_ids", i + 2, F.size("_ids")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("_p")
-        )
-        .select("_p.id_a", "_p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _expand_sorted_id_buckets(grouped, "_ids").dropDuplicates(["id_a", "id_b"])
     # joinback: only candidate pairs (<< corpus) pull their shingle arrays
     sh_a = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     sh_b = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
@@ -196,11 +198,31 @@ def minhash_lsh_pairs(
     return out
 
 
+def _expand_sorted_id_buckets(grouped: DataFrame, ids_col: str) -> DataFrame:
+    """All in-bucket pairs (id_a < id_b) from a frame holding a SORTED id
+    array per bucket, STREAMED: posexplode the array, then explode each
+    element's tail slice. No intermediate value ever holds more than one
+    bucket's id array (O(bucket)), so a hot bucket produces its size^2
+    pairs as spillable generator output rows — never as a single flattened
+    O(size^2) array value (which would hit the 2 GB value limit / one-task
+    OOM long before the shuffle could spill)."""
+    return (
+        grouped.select(F.col(ids_col), F.posexplode(ids_col).alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col(ids_col), F.col("_i") + 2, F.size(ids_col))
+            ).alias("id_b"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    raise_on_nonconvergence: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected near-duplicate pair graph:
     (node, component) where component = min node id in the component — the
@@ -214,9 +236,17 @@ def connected_components(
     stops early at fixpoint and hard-stops at ``max_iter``. Each round is
     one broadcast-or-shuffle join + hash aggregate, with localCheckpoint
     per round to truncate lineage (the iterative-algorithm hygiene Spark
-    needs). For adversarial long-chain graphs swap in the large-star/
-    small-star algorithm (Kiveris et al.) — same join primitives,
-    O(log n) rounds."""
+    needs). For adversarial long-chain graphs use
+    :func:`connected_components_star` (Kiveris et al. large-star/
+    small-star) — same join primitives, O(log n) rounds regardless of
+    diameter.
+
+    If the graph has not converged after ``max_iter`` rounds the result
+    would silently contain SPLIT components (near-dups kept as distinct
+    'representatives'), so by default this raises instead — switch to the
+    star variant or raise ``max_iter``. ``raise_on_nonconvergence=False``
+    restores the old return-partial behavior (the frame then carries a
+    ``converged=False`` marker in its ``.converged`` attribute)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -229,6 +259,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -261,7 +292,98 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0 and raise_on_nonconvergence:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the graph's diameter exceeds max_iter (long chains); use "
+            "connected_components_star (O(log n) rounds) or raise max_iter"
+        )
+    labels.converged = changed == 0
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log n) rounds INDEPENDENT of graph diameter —
+    the swap-in for adversarial chain-shaped near-dup graphs where
+    min-label propagation's O(diameter) rounds would stall.
+
+      * large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})
+      * small-star(u): orient edges to the smaller endpoint; connect every
+        smaller neighbor and u itself to m = min(N≤(u) ∪ {u})
+
+    Each operation is one groupBy-min + one join on the SAME key — the
+    identical shuffle shape as a min-label round, just with a doubling
+    contraction rate. Returns (node, component) with component = min node
+    id, byte-identical to :func:`connected_components` output."""
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("_m"))
+        )
+        return (
+            und.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        toward_min = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = toward_min.groupBy("u").agg(F.min("v").alias("_m"))
+        linked = toward_min.join(mins, "u")
+        return (
+            linked.select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("_m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_e = small_star(large_star(e)).localCheckpoint()
+        diff = (
+            new_e.exceptAll(e).union(e.exceptAll(new_e)).limit(1).count()
+        )
+        e = new_e
+        if diff == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (expected O(log n) ~ a few dozen for any real graph)"
+        )
+    # converged edge set is a star per component: every non-root points at
+    # the component min; roots (and isolated nodes) label themselves
+    labels = e.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("label")
+    ).groupBy("node").agg(F.min("label").alias("label"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
 
 
 def dedup_corpus_by_pairs(
@@ -363,26 +485,20 @@ def simhash_near_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_fp"))).alias("_rows"))
         .where(F.size("_rows") >= 2)
     )
+    # streamed expansion (see _expand_sorted_id_buckets): posexplode rows,
+    # explode each row's tail slice — per-value memory stays O(bucket), the
+    # size^2 pair blowup streams as generator rows instead of accumulating
+    # into one flattened array value
     pairs = (
-        grouped.select(
+        grouped.select("_rows", F.posexplode("_rows").alias("_i", "_x"))
+        .select(
+            F.col("_x._id").alias("id_a"),
+            F.col("_x._fp").alias("_fa"),
             F.explode(
-                F.flatten(
-                    F.transform(
-                        "_rows",
-                        lambda x, i: F.transform(
-                            F.slice("_rows", i + 2, F.size("_rows")),
-                            lambda y: F.struct(
-                                x["_id"].alias("id_a"),
-                                y["_id"].alias("id_b"),
-                                x["_fp"].alias("_fa"),
-                                y["_fp"].alias("_fb"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("_p")
+                F.slice(F.col("_rows"), F.col("_i") + 2, F.size("_rows"))
+            ).alias("_y"),
         )
-        .select("_p.*")
+        .select("id_a", F.col("_y._id").alias("id_b"), "_fa", F.col("_y._fp").alias("_fb"))
         # a pair may share several chunks; fp copies are identical, keep one
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -436,21 +552,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     shared = (
-        posting.where(F.size("_ids") >= 2)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "_ids",
-                        lambda x, i: F.transform(
-                            F.slice("_ids", i + 2, F.size("_ids")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("_p")
-        )
-        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        _expand_sorted_id_buckets(posting.where(F.size("_ids") >= 2), "_ids")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared"))
     )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))

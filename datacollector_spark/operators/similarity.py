@@ -177,24 +177,25 @@ def embedding_near_dup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_v"))).alias("_rows"))
         .where(F.size("_rows") >= 2)
     )
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "_rows",
-                    lambda x, i: F.transform(
-                        F.slice("_rows", i + 2, F.size("_rows")),
-                        lambda y: F.struct(
-                            x["_id"].alias("id_a"),
-                            y["_id"].alias("id_b"),
-                            cosine(
-                                x["_v"].cast("array<double>"),
-                                y["_v"].cast("array<double>"),
-                            ).alias("cosine"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("_p")
-    ).select("_p.*")
+    # streamed expansion (operators/dedup._expand_sorted_id_buckets): the
+    # pair structs stream out of two chained generators — per-value memory
+    # stays O(bucket x dim), never the O(size^2) flattened pair array that
+    # would single-task-OOM on a hot bucket
+    pairs = (
+        grouped.select("_rows", F.posexplode("_rows").alias("_i", "_x"))
+        .select(
+            "_x",
+            F.explode(
+                F.slice(F.col("_rows"), F.col("_i") + 2, F.size("_rows"))
+            ).alias("_y"),
+        )
+        .select(
+            F.col("_x._id").alias("id_a"),
+            F.col("_y._id").alias("id_b"),
+            cosine(
+                F.col("_x._v").cast("array<double>"),
+                F.col("_y._v").cast("array<double>"),
+            ).alias("cosine"),
+        )
+    )
     return pairs.where(F.col("cosine") >= threshold)

@@ -187,6 +187,116 @@ class PipelineSpec:
         lanes.update(targets)
         return lanes
 
+    # ------------------------------------------------- SDC config porting
+    @classmethod
+    def from_sdc_config(
+        cls,
+        pipeline_config: dict,
+        origin_overrides: dict[str, dict] | None = None,
+    ) -> "PipelineSpec":
+        """Port a stock SDC pipeline-config JSON (the reference's export
+        format: ``stages[]`` with ``instanceName``/``stageName``/
+        ``configuration``/``inputLanes``/``outputLanes`` —
+        container/.../config/PipelineConfiguration.java) into a
+        PipelineSpec, translating every EL expression through
+        :func:`~datacollector_spark.functions.el.el_to_sql`.
+
+        Supported stage classes (the stock selector+evaluator pipelines):
+          * ``*SelectorDProcessor`` — ``lanePredicates`` [{outputLane,
+            predicate}] where the last predicate is the literal "default"
+            (SelectorProcessor.java:66-67,92-110)
+          * ``*ExpressionDProcessor`` — ``expressionProcessorConfigs``
+            [{fieldToSet, expression}] (ExpressionProcessorConfig.java:41,54)
+          * ``*FieldRemoverDProcessor`` — ``fields`` + ``filterOperation``
+            REMOVE/KEEP
+          * ``*DSource`` (any origin) — replaced by a parquet origin; the
+            caller supplies {instanceName: {"path": ..., "format": ...}}
+            via ``origin_overrides`` (sandbox origins read files, not the
+            jar-bound external system)
+          * ``*DTarget`` / ``*Trash*`` — memory_target (collect lane)
+
+        SDC lane names (``Selector_01OutputLane1``) are kept verbatim, so
+        ported previews read like the original pipeline. Fan-in (multiple
+        inputLanes) is not supported here — use the framework combiner.
+        """
+        from datacollector_spark.functions.el import el_to_sql, path_to_column
+
+        cfg = pipeline_config.get("pipelineConfig", pipeline_config)
+        origin_overrides = origin_overrides or {}
+        stages: list[dict] = []
+        for st in cfg["stages"]:
+            name = st["instanceName"]
+            klass = st.get("stageName", "")
+            conf = {c["name"]: c.get("value") for c in st.get("configuration", [])}
+            ins, outs = st.get("inputLanes", []), st.get("outputLanes", [])
+            if len(ins) > 1:
+                raise ValidationError(
+                    f"VALIDATION_0007: {name}: fan-in ports via the framework "
+                    "combiner, not from_sdc_config"
+                )
+            if "SelectorDProcessor" in klass:
+                preds = conf.get("lanePredicates") or []
+                if not preds or preds[-1].get("predicate") != "default":
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: selector needs lanePredicates "
+                        "ending with the 'default' predicate (SELECTOR_07)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "stream_selector",
+                        "in": ins[0],
+                        "conditions": [
+                            [p["outputLane"], el_to_sql(p["predicate"])]
+                            for p in preds[:-1]
+                        ],
+                        "default_lane": preds[-1]["outputLane"],
+                    }
+                )
+            elif "ExpressionDProcessor" in klass:
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "expression_evaluator",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "expressions": {
+                            path_to_column(e["fieldToSet"]): el_to_sql(e["expression"])
+                            for e in conf.get("expressionProcessorConfigs", [])
+                        },
+                    }
+                )
+            elif "FieldRemoverDProcessor" in klass:
+                cols = [path_to_column(p) for p in conf.get("fields", [])]
+                op = (conf.get("filterOperation") or "REMOVE").upper()
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "field_remover",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "columns": cols,
+                        "keep": op == "KEEP",
+                    }
+                )
+            elif "DSource" in klass:
+                ov = origin_overrides.get(name)
+                if ov is None:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: origin {klass!r} needs an "
+                        "origin_overrides entry with a local 'path'"
+                    )
+                stages.append(
+                    {"name": name, "type": "parquet_origin", "out": outs[0], **ov}
+                )
+            elif "DTarget" in klass or "Trash" in klass:
+                stages.append({"name": name, "type": "memory_target", "in": ins[0]})
+            else:
+                raise ValidationError(
+                    f"VALIDATION_0006: unsupported SDC stage class {klass!r}"
+                )
+        return cls({"pipeline": cfg.get("title", "ported"), "stages": stages})
+
     # ------------------------------------------------------------- preview
     def preview(
         self,

@@ -84,6 +84,94 @@ def assemble_conversations(
     )
 
 
+def assemble_conversations_event_time(
+    turns: DataFrame,
+    gap_ms: int = 60_000,
+    time_col: str = "event_time",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """EVENT-TIME conversation assembler: a conversation is emitted when
+    the stream's WATERMARK passes ``max(event_time seen) + gap_ms`` — the
+    sessionization clock is the data's own timestamps, not the wall clock.
+
+    This is the scale-correct form for backfill: replaying months of
+    historical turns at 100x real-time through
+    :func:`assemble_conversations` (ProcessingTimeTimeout) would
+    sessionize by arrival rate — every conversation in the replay window
+    looks "active" until the drain ends. Here the same replay reproduces
+    the original session boundaries exactly, because timeouts fire on
+    watermark progress (Spark EventTimeTimeout + ``withWatermark``). The
+    reference's emission clock is likewise event-time-driven
+    (hdfs-protolib/.../HdfsTargetConfigBean.java:213 timeDriver, default
+    ``time:now()`` but configurable to a record field).
+
+    ``turns`` needs (conv_id, turn_idx, role, text, ``time_col``
+    timestamp). Out-of-order turns within the watermark are absorbed into
+    state (last-write-wins per turn_idx, emission in turn order);
+    conversations still inside their gap when the stream drains stay in
+    state for the next run (exactly what a checkpoint-resumed backfill
+    wants — no spurious end-of-drain flush).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    with_wm = turns.withWatermark(time_col, watermark_delay)
+    src = with_wm.select(
+        "conv_id", "turn_idx", "role", "text", F.col(time_col).alias("_ts")
+    )
+
+    state_schema = (
+        "turn_idxs array<int>, roles array<string>, texts array<string>, "
+        "max_ts long"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idxs, roles, texts, _ = state.get
+            state.remove()
+            yield _emit(conv_id, turn_idxs, roles, texts, "event_time_gap")
+            return
+        turn_idxs, roles, texts, max_ts = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        turn_idxs, roles, texts = list(turn_idxs), list(roles), list(texts)
+        pos = {t: i for i, t in enumerate(turn_idxs)}
+        for pdf in pdfs:
+            ts_ms = (pdf["_ts"].astype("int64") // 1_000_000).tolist()
+            for t, r, x, ms in zip(
+                pdf["turn_idx"].tolist(), pdf["role"].tolist(),
+                pdf["text"].tolist(), ts_ms,
+            ):
+                t = int(t)
+                if t in pos:  # replay/update of a turn: last write wins
+                    roles[pos[t]], texts[pos[t]] = r, x
+                else:
+                    pos[t] = len(turn_idxs)
+                    turn_idxs.append(t)
+                    roles.append(r)
+                    texts.append(x)
+                max_ts = max(max_ts, int(ms))
+        state.update((turn_idxs, roles, texts, max_ts))
+        # fire once the watermark passes the conversation's quiet horizon;
+        # the timestamp must sit strictly beyond the current watermark
+        # (Spark rejects timeouts at-or-before it)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts + gap_ms, wm + 1))
+        return
+        yield  # pragma: no cover — make fn a generator on the no-emit path
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        ASSEMBLED_SCHEMA,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _emit(conv_id, turn_idxs, roles, texts, reason) -> pd.DataFrame:
     order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
     transcript = "\n".join(f"{roles[i]}: {texts[i]}" for i in order)

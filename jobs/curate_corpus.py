@@ -23,6 +23,12 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.25)
     ap.add_argument("--languages", default=None, help="comma-separated, e.g. en,de")
     ap.add_argument("--minhash-threshold", type=float, default=0.6)
+    ap.add_argument(
+        "--max-bucket-size",
+        type=int,
+        default=1000,
+        help="minhash band-bucket cap (mega-bucket defense); 0 = uncapped",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,6 +50,7 @@ def main() -> None:
         min_quality=args.min_quality,
         languages=args.languages.split(",") if args.languages else None,
         minhash_threshold=args.minhash_threshold,
+        max_bucket_size=args.max_bucket_size or None,
     )
     survivors.write.mode("overwrite").parquet(args.output)
     print("CURATE_RESULT " + json.dumps(counts))

@@ -1,0 +1,409 @@
+"""Round-4 fixes: EL Java-semantics argument translation + literal-safe
+rewriting, SDC pipeline-config porting, streamed dedup pair expansion with
+the minhash mega-bucket cap, connected-components convergence guarantees,
+and the event-time conversation assembler."""
+
+from __future__ import annotations
+
+import pytest
+
+from datacollector_spark.functions.el import el_condition, el_expr, el_to_sql
+
+
+def test_el_substring_indexof_java_semantics(spark):
+    """str:substring is JAVA substring (0-based beginIndex, EXCLUSIVE
+    endIndex, StringEL.java:46-67) — not SQL substr's (pos, LENGTH); and
+    str:indexOf is 0-based with -1 on miss, vs instr's 1-based/0-on-miss."""
+    df = spark.createDataFrame([("abcdefgh",)], "text string")
+
+    def ev(el):
+        return df.select(el_expr(el).alias("v")).first()["v"]
+
+    # chars at indices 2..4 — the ADVICE example that used to yield 5 chars
+    assert ev("${str:substring(text, 2, 5)}") == "cde"
+    assert ev("${str:substring(text, 0, 3)}") == "abc"
+    # endIndex clamped to length (StringEL.java:63-65)
+    assert ev("${str:substring(text, 6, 100)}") == "gh"
+    # beginIndex past the end -> "" (StringEL.java:60-62)
+    assert ev("${str:substring(text, 100, 120)}") == ""
+    # 0-based indexOf; -1 on miss
+    assert ev("${str:indexOf(text, 'cd')}") == 2
+    assert ev("${str:indexOf(text, 'zz')}") == -1
+    assert ev("${str:indexOf(text, 'a')}") == 0
+
+
+def test_el_literal_protection():
+    """Boolean-operator and whitespace rewrites must never run inside
+    single-quoted literals (round-3 ADVICE: 'a&&b' became 'a AND b')."""
+    assert el_to_sql("${record:value('/name') == 'a&&b'}") == "name == 'a&&b'"
+    assert el_to_sql("${text == 'x!y'}") == "text == 'x!y'"
+    assert el_to_sql("${role == 'a||b' || role == 'c'}") == "role == 'a||b' OR role == 'c'"
+    # whitespace inside literals is data, not formatting
+    assert el_to_sql("${text != 'two  spaces'}") == "text != 'two  spaces'"
+    # a literal that LOOKS like an EL call must not be rewritten or raise
+    assert el_to_sql("${text == 'str:frobnicate(x)'}") == "text == 'str:frobnicate(x)'"
+
+
+def test_el_new_functions_executed(spark):
+    """Round-4 census additions: str:matches (whole-string anchoring like
+    Java String.matches), urlEncode/urlDecode, time:trimDate/trimTime
+    (TimeNowEL.java:54-80 — both KEEP sub-second millis), record:exists/
+    type/valueOrDefault."""
+    df = spark.createDataFrame(
+        [("abc123", 7, "2024-05-06 10:20:30.456")], "text string, num int, ts_s string"
+    ).selectExpr("text", "num", "cast(ts_s as timestamp) as ts")
+
+    def ev(el, extra=None):
+        d = df.withColumn("extra", extra) if extra is not None else df
+        return d.select(el_expr(el).alias("v")).first()["v"]
+
+    # matches anchors the WHOLE string (contains-style match must fail)
+    assert ev("${str:matches(text, '[a-z]+[0-9]+')}") is True
+    assert ev("${str:matches(text, '[a-z]+')}") is False
+    assert ev("${str:urlEncode('a b&c', 'UTF-8')}") == "a+b%26c"
+    assert ev("${str:urlDecode('a+b%26c')}") == "a b&c"
+    # trimTime: date kept, h/m/s zeroed, millis KEPT (Date.setHours quirk)
+    assert str(ev("${time:trimTime(ts)}")) == "2024-05-06 00:00:00.456000"
+    # trimDate: date -> 1970-01-01, time-of-day kept
+    assert str(ev("${time:trimDate(ts)}")) == "1970-01-01 10:20:30.456000"
+    assert ev("${record:exists('/text')}") is True
+    assert ev("${record:valueOrDefault('/num', 42)}") == 7
+    assert ev("${record:type('/text')}") == "STRING"
+    assert ev("${record:type('/num')}") == "INTEGER"
+    assert ev("${record:type('/ts')}") == "DATETIME"
+
+    # predicates built from the new functions compose with booleans
+    row = df.select(
+        el_condition(
+            "${str:matches(text, '[a-z]+[0-9]+') && record:exists('/num')}"
+        ).alias("c")
+    ).first()
+    assert row["c"] is True
+
+    with pytest.raises(ValueError, match="drift:.*lake schema evolution"):
+        el_to_sql("${drift:names('/', true)}")
+
+
+def test_sdc_config_port_end_to_end(spark, tmp_path):
+    """A stock SDC pipeline-config JSON (origin -> StreamSelector ->
+    ExpressionEvaluator -> FieldRemover -> Trash) ports through
+    PipelineSpec.from_sdc_config with every EL translated, and produces the
+    same rows as the hand-written Spark equivalent."""
+    from pyspark.sql import functions as F
+
+    from datacollector_spark.plans.spec import PipelineSpec
+
+    src = spark.createDataFrame(
+        [(1, "user", "hello world"), (2, "assistant", "hi!"), (3, "user", "a&&b")],
+        "op int, role string, text string",
+    )
+    path = str(tmp_path / "src.parquet")
+    src.write.parquet(path)
+
+    sdc_config = {
+        "pipelineConfig": {
+            "title": "selector-evaluator-demo",
+            "stages": [
+                {
+                    "instanceName": "Dir_01",
+                    "stageName": "com_streamsets_pipeline_stage_origin_spooldir_SpoolDirDSource",
+                    "configuration": [],
+                    "inputLanes": [],
+                    "outputLanes": ["Dir_01OutputLane1"],
+                },
+                {
+                    "instanceName": "Selector_01",
+                    "stageName": "com_streamsets_pipeline_stage_processor_selector_SelectorDProcessor",
+                    "configuration": [
+                        {
+                            "name": "lanePredicates",
+                            "value": [
+                                {
+                                    "outputLane": "Selector_01OutputLane1",
+                                    "predicate": "${record:value('/role') == 'user' && record:value('/text') != 'a&&b'}",
+                                },
+                                {
+                                    "outputLane": "Selector_01OutputLane2",
+                                    "predicate": "default",
+                                },
+                            ],
+                        }
+                    ],
+                    "inputLanes": ["Dir_01OutputLane1"],
+                    "outputLanes": ["Selector_01OutputLane1", "Selector_01OutputLane2"],
+                },
+                {
+                    "instanceName": "Expr_01",
+                    "stageName": "com_streamsets_pipeline_stage_processor_expression_ExpressionDProcessor",
+                    "configuration": [
+                        {
+                            "name": "expressionProcessorConfigs",
+                            "value": [
+                                {
+                                    "fieldToSet": "/shout",
+                                    "expression": "${str:toUpper(str:substring(record:value('/text'), 0, 5))}",
+                                },
+                                {
+                                    "fieldToSet": "/has_world",
+                                    "expression": "${str:indexOf(record:value('/text'), 'world') != -1}",
+                                },
+                            ],
+                        }
+                    ],
+                    "inputLanes": ["Selector_01OutputLane1"],
+                    "outputLanes": ["Expr_01OutputLane1"],
+                },
+                {
+                    "instanceName": "Remover_01",
+                    "stageName": "com_streamsets_pipeline_stage_processor_fieldfilter_FieldRemoverDProcessor",
+                    "configuration": [
+                        {"name": "fields", "value": ["/op"]},
+                        {"name": "filterOperation", "value": "REMOVE"},
+                    ],
+                    "inputLanes": ["Expr_01OutputLane1"],
+                    "outputLanes": ["Remover_01OutputLane1"],
+                },
+                {
+                    "instanceName": "Trash_01",
+                    "stageName": "com_streamsets_pipeline_stage_destination_devnull_NullDTarget",
+                    "configuration": [],
+                    "inputLanes": ["Remover_01OutputLane1"],
+                    "outputLanes": [],
+                },
+            ],
+        }
+    }
+
+    spec = PipelineSpec.from_sdc_config(
+        sdc_config, origin_overrides={"Dir_01": {"path": path}}
+    )
+    lanes = spec.build(spark)
+    got = lanes["Remover_01OutputLane1"].orderBy("role", "text").collect()
+
+    expected = (
+        src.where((F.col("role") == "user") & (F.col("text") != "a&&b"))
+        .withColumn("shout", F.upper(F.substring("text", 1, 5)))
+        .withColumn("has_world", F.instr("text", "world") - 1 != -1)
+        .drop("op")
+        .orderBy("role", "text")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in expected]
+    assert got[0]["shout"] == "HELLO" and got[0]["has_world"] is True
+
+    # the default lane carries everything the predicate rejected
+    assert lanes["Selector_01OutputLane2"].count() == 2
+
+
+def test_streamed_pair_expansion_equivalence(spark):
+    """The round-4 streamed pair expansion (posexplode + tail-slice explode)
+    must produce the identical pair sets the flattened-array expansion did,
+    across all four bucketed dedup families."""
+    from datacollector_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mh = minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert rows and all(a < b for a, b in rows)
+    # cap large enough to be a no-op -> byte-identical pair set
+    mh_cap = minhash_lsh_pairs(
+        docs, "doc_id", "text", verify_threshold=0.5, max_bucket_size=1_000_000
+    )
+    assert {(r["id_a"], r["id_b"]) for r in mh_cap.collect()} == rows
+
+    sh = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, chunks=4)
+    sh_rows = {(r["id_a"], r["id_b"]) for r in sh.collect()}
+    assert all(a < b for a, b in sh_rows)
+
+    ng = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    ng_rows = {(r["id_a"], r["id_b"]) for r in ng.collect()}
+    assert rows <= ng_rows  # LSH-verified pairs are a subset of exact Jaccard
+
+
+def test_minhash_mega_bucket_cap_adversarial(spark):
+    """10k near-identical-but-UNEQUAL docs (templated spam: shared 40-word
+    base + unique suffix) — the adversarial mega-cluster that exact-dedup
+    cannot collapse. Uncapped, every band bucket holds ~10k ids and the
+    expansion is ~bands x 5x10^7 pairs; with max_bucket_size=50 the worst
+    bucket contributes C(50,2) pairs and the whole run completes in
+    seconds with a bounded pair count."""
+    from pyspark.sql import functions as F
+
+    from datacollector_spark.operators.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " uniq"), F.col("id").cast("string")).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", verify_threshold=None, max_bucket_size=50
+    )
+    n = pairs.count()
+    # worst case = bands(8) x C(50,2)=1225 per distinct bucket; far below
+    # the ~4x10^8 uncapped candidate count
+    assert 0 < n <= 8 * 1225
+    # truncation is deterministic: min ids survive, so doc 0 pairs exist
+    assert pairs.where("id_a = 0").count() > 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter must raise, not silently return split
+    components (round-3 ADVICE)."""
+    from datacollector_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # opt-out returns the partial labels with the converged marker
+    partial = connected_components(chain, max_iter=3, raise_on_nonconvergence=False)
+    assert partial.converged is False
+    full = connected_components(chain, max_iter=20)
+    assert full.converged is True
+    assert {r["label"] for r in full.collect()} == {0}
+
+
+def test_connected_components_star_path_graph(spark):
+    """Large-star/small-star (Kiveris et al.) on a 10^4-node PATH graph —
+    diameter 10^4, where min-label would need 10^4 rounds — must converge
+    in O(log n) rounds (max_iter=30 would raise otherwise) and label every
+    node with the component min."""
+    from pyspark.sql import functions as F
+
+    from datacollector_spark.operators.dedup import connected_components_star
+
+    n = 10_000
+    path_edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = connected_components_star(path_edges)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("comps"),
+        F.min("label").alias("mn"),
+        F.max("label").alias("mx"),
+    ).first()
+    assert agg["n"] == n and agg["comps"] == 1 and agg["mn"] == 0 and agg["mx"] == 0
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """Star and min-label variants agree exactly on a multi-component
+    graph (chains, a clique, singleton-pair components)."""
+    from datacollector_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]  # chain
+    edges += [(10, 11), (10, 12), (11, 12), (12, 13)]  # near-clique
+    edges += [(20, 21)]  # pair
+    edges += [(30, 31), (31, 32), (30, 32)]  # triangle
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r["node"], r["label"]) for r in connected_components(pairs).collect()}
+    b = {(r["node"], r["label"]) for r in connected_components_star(pairs).collect()}
+    assert a == b
+    assert dict(b)[5] == 1 and dict(b)[13] == 10 and dict(b)[32] == 30
+
+
+def test_assemble_conversations_event_time(spark, tmp_path):
+    """Event-time sessionization: a backfill of HISTORICAL out-of-order
+    turns emits on WATERMARK progress, not wall-clock. The whole drain runs
+    in ~seconds of wall time with a 60 s inactivity gap — under
+    processing-time timeouts nothing could fire; under event-time timeouts
+    conversation A (quiet for >60 s of EVENT time before B's traffic)
+    fires, while B (event-time-active at stream end) stays in state."""
+    import time
+
+    from datacollector_spark.streaming.stateful import (
+        assemble_conversations_event_time,
+    )
+
+    seg = tmp_path / "turns"
+    seg.mkdir()
+    schema = "conv_id string, turn_idx int, role string, text string, event_time timestamp"
+
+    def ts(s):
+        return f"2024-01-01 10:{s}"
+
+    raw_schema = "conv_id string, turn_idx int, role string, text string, event_time string"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, raw_schema).selectExpr(
+            "conv_id", "turn_idx", "role", "text", "cast(event_time as timestamp) as event_time"
+        ).coalesce(1).write.parquet(str(seg / name))
+        time.sleep(0.05)
+
+    # batch 1: conv A, delivered OUT OF ORDER, turn 1 replayed later
+    write("f1", [("A", 1, "assistant", "OLD", ts("00:10")), ("A", 0, "user", "hi", ts("00:00"))])
+    # batch 2: A's turn-1 replay (LWW) + first B traffic 5 MINUTES later in
+    # event time — A's 60s gap has long expired on the event clock
+    write("f2", [("A", 1, "assistant", "hello", ts("00:10")), ("B", 0, "user", "solo", ts("05:00"))])
+    # batch 3: more B traffic; the watermark (05:00 - 10s) now exceeds A's
+    # quiet horizon (00:10 + 60s) -> A fires this batch
+    write("f3", [("B", 1, "assistant", "still here", ts("05:05"))])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(seg) + "/f*")
+    )
+    out = assemble_conversations_event_time(stream, gap_ms=60_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asm_et")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["conv_id"]: r for r in spark.sql("SELECT * FROM asm_et").collect()}
+    assert "A" in rows, f"A should fire on watermark, got {list(rows)}"
+    a = rows["A"]
+    assert a["n_turns"] == 2 and a["reason"] == "event_time_gap"
+    # out-of-order delivery restored to turn order; replay took the LAST text
+    assert a["transcript"] == "user: hi\nassistant: hello"
+    # B is event-time-active at end of stream: stays in state, NOT flushed
+    # (a checkpoint-resumed backfill continues it)
+    assert "B" not in rows
+
+
+def test_dedup_oracle_parity_above_toy_scale(spark):
+    """VERDICT r3 #8: correctness evidence for the dedup pair/cluster path
+    ABOVE the 500-doc gate corpus — dedup_minhash_lsh and dedup_components
+    cross-checked against their DuckDB oracles at sf0.1 (5 000 documents,
+    10x the driver's gate scale)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    got_pairs = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    exp_pairs = {
+        (a, b, round(j, 6))
+        for a, b, j in con.execute(oracles["dedup_minhash_lsh"]).fetchall()
+    }
+    assert got_pairs == exp_pairs
+    assert len(got_pairs) > 50  # sf0.1 plants ~10x the sf0.01 near-dups
+
+    got_comp = {
+        (r["doc_id"], r["component"])
+        for r in qs["dedup_components"](spark, sf_dir).collect()
+    }
+    exp_comp = set(map(tuple, con.execute(oracles["dedup_components"]).fetchall()))
+    assert got_comp == exp_comp
