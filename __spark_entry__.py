@@ -892,6 +892,107 @@ def _hash_split_oracle(fractions, salt="split-v1") -> str:
     """
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Same clusters as dedup_components, computed by the large-star/
+    small-star algorithm (Kiveris et al.) — O(log n) rounds independent of
+    graph diameter, the swap-in for adversarial chain graphs. Oracle-
+    checked against the identical recursive-CTE transitive closure, so the
+    two CC implementations are proven pointwise equal on real pairs."""
+    from datacollector_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        verify_threshold=0.4,
+    )
+    comp = connected_components_star(pairs)
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("component"),
+    )
+
+
+def q_el_ported_config(spark, sf_dir):
+    """A stock SDC pipeline-config JSON (origin -> StreamSelector ->
+    ExpressionEvaluator) ported end to end: PipelineSpec.from_sdc_config
+    translates every EL string (Java substring/indexOf semantics,
+    literal-safe boolean rewrite) and wires the lanes; the oracle is the
+    hand-written SQL a reference user would expect the pipeline to mean.
+    Exercises functions/el.py + plans/spec.py against real config shapes
+    (SelectorProcessor.java lanePredicates,
+    ExpressionProcessorConfig.java fieldToSet/expression)."""
+    from datacollector_spark.plans.spec import PipelineSpec
+
+    config = {
+        "pipelineConfig": {
+            "title": "ported-selector-evaluator",
+            "stages": [
+                {
+                    "instanceName": "Origin_01",
+                    "stageName": "com_streamsets_pipeline_stage_origin_spooldir_SpoolDirDSource",
+                    "configuration": [],
+                    "inputLanes": [],
+                    "outputLanes": ["Origin_01OutputLane1"],
+                },
+                {
+                    "instanceName": "Selector_01",
+                    "stageName": "com_streamsets_pipeline_stage_processor_selector_SelectorDProcessor",
+                    "configuration": [
+                        {
+                            "name": "lanePredicates",
+                            "value": [
+                                {
+                                    "outputLane": "Selector_01OutputLane1",
+                                    "predicate": "${record:value('/event_type') == 'click' "
+                                    "&& !(record:value('/value') < 10.0)}",
+                                },
+                                {"outputLane": "Selector_01OutputLane2", "predicate": "default"},
+                            ],
+                        }
+                    ],
+                    "inputLanes": ["Origin_01OutputLane1"],
+                    "outputLanes": ["Selector_01OutputLane1", "Selector_01OutputLane2"],
+                },
+                {
+                    "instanceName": "Expr_01",
+                    "stageName": "com_streamsets_pipeline_stage_processor_expression_ExpressionDProcessor",
+                    "configuration": [
+                        {
+                            "name": "expressionProcessorConfigs",
+                            "value": [
+                                {
+                                    "fieldToSet": "/etype_up",
+                                    "expression": "${str:toUpper(record:value('/event_type'))}",
+                                },
+                                {
+                                    "fieldToSet": "/marker",
+                                    "expression": "${str:substring(record:value('/event_type'), 0, 3)}",
+                                },
+                                {
+                                    "fieldToSet": "/eid_bucket",
+                                    "expression": "${record:value('/event_id') % 10}",
+                                },
+                            ],
+                        }
+                    ],
+                    "inputLanes": ["Selector_01OutputLane1"],
+                    "outputLanes": ["Expr_01OutputLane1"],
+                },
+            ],
+        }
+    }
+    spec = PipelineSpec.from_sdc_config(
+        config, origin_overrides={"Origin_01": {"path": f"{sf_dir}/events.parquet"}}
+    )
+    return spec.build(spark)["Expr_01OutputLane1"]
+
+
 def q_dedup_simhash(spark, sf_dir):
     from datacollector_spark.operators.dedup import simhash_near_pairs
 
@@ -1060,7 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "dedup_simhash": q_dedup_simhash,
+        "el_ported_config": q_el_ported_config,
         "corpus_hash_split": q_corpus_hash_split,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1412,6 +1515,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _embedding_neardup_oracle(dim=64, planes=6, threshold=0.95),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=32, bands=8, threshold=0.4),
         "dedup_components": _components_oracle(num_hashes=32, bands=8, threshold=0.4),
+        # the star variant must land on the SAME fixpoint as min-label —
+        # one oracle proves both implementations pointwise equal
+        "dedup_components_star": _components_oracle(num_hashes=32, bands=8, threshold=0.4),
+        "el_ported_config": """
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   upper(event_type) AS etype_up,
+                   substr(event_type, 1, 3) AS marker,
+                   event_id % 10 AS eid_bucket
+            FROM events
+            WHERE event_type = 'click' AND NOT (value < 10.0)
+        """,
         "corpus_hash_split": _hash_split_oracle({"train": 0.8, "val": 0.1, "test": 0.1}),
         "dedup_simhash": _simhash_oracle(max_hamming=3, chunks=4),
         "ann_lsh_topk": _ann_lsh_oracle(dim=64, planes=6, k=5),

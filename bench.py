@@ -59,6 +59,16 @@ SCALE_ROUNDS = int(os.environ.get("DCS_BENCH_SCALE_ROUNDS", "3"))
 # cluster amortizes the same constants over far bigger batches.)
 SCALE_EVENTS = int(os.environ.get("DCS_BENCH_SCALE_EVENTS", str(N_EVENTS)))
 SCALE_BUCKETS = int(os.environ.get("DCS_BENCH_SCALE_BUCKETS", "32"))
+# Rep-level contention gates (round-4): a rep is ACCEPTED only if its
+# pre-rep probe AND every in-rep sample (3 s cadence background sampler)
+# stay under the noise gate and over the membw gate. Contended reps are
+# discarded and re-run (bounded at +2 extra attempts per leg); efficiency
+# is computed over accepted reps, with the ungated number kept alongside.
+# Rationale: boundary probes miss mid-rep contention (r3: a 67.7 s rep
+# with quiet 16.05 GB/s pre-probe), so gating must see inside the rep.
+NOISE_GATE_S = float(os.environ.get("DCS_BENCH_NOISE_GATE", "0.25"))
+MEMBW_GATE_GBPS = float(os.environ.get("DCS_BENCH_MEMBW_GATE", "12.0"))
+SCALE_EXTRA_ATTEMPTS = int(os.environ.get("DCS_BENCH_SCALE_EXTRA", "2"))
 N_SEGMENTS = int(os.environ.get("DCS_BENCH_SEGMENTS", "16"))
 BATCHES = 4  # micro-batches per leg; first is warmup
 # Where segments/table/checkpoint live. The sandbox has ONE virtual disk;
@@ -292,16 +302,59 @@ def _bandwidth_probe() -> float:
     return round(1.0 / dt, 2)  # 0.5 GB read + 0.5 GB write => GB/s
 
 
+def _sampled(fn) -> tuple[float, list[dict]]:
+    """Run ``fn`` with a background noise+membw sampler (3 s cadence).
+    Returns (wall_s of fn alone, samples). The sampler costs ~0.3 s of one
+    core per sample — identical load in both scaling legs, so the
+    efficiency ratio is unaffected; its timeline is what lets a rep be
+    REJECTED for contention that starts and ends mid-rep (boundary probes
+    provably miss those — see BENCH.md r3 analysis)."""
+    import threading
+
+    samples: list[dict] = []
+    stop = threading.Event()
+    t_start = time.perf_counter()
+
+    def _s():
+        while not stop.is_set():
+            samples.append(
+                {
+                    "t": round(time.perf_counter() - t_start, 1),
+                    "noise_s": _noise_probe(),
+                    "membw_gbps": _bandwidth_probe(),
+                }
+            )
+            stop.wait(3.0)
+
+    th = threading.Thread(target=_s, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    fn()
+    wall = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=5)
+    return wall, samples
+
+
+def _rep_accepted(samples: list[dict]) -> bool:
+    return all(
+        s["noise_s"] <= NOISE_GATE_S and s["membw_gbps"] >= MEMBW_GATE_GBPS
+        for s in samples
+    )
+
+
 def _run_scaling_leg(
     spark, segments_dir: str, cores: int, reps: int, merge_mode: str = "cow"
 ) -> dict:
-    """Scaling leg: apply the FULL changelog as one batch, ``reps`` times
-    against a steady-size table (distinct commit keys), report the minimum
-    wall. Minimum-of-repetitions is the noise-robust estimator on this
-    shared host; the work per repetition is identical across core counts."""
+    """Scaling leg: apply the FULL changelog as one batch against a
+    steady-size table (distinct commit keys), ``reps`` times, each rep
+    wrapped in the contention sampler. A rep is ACCEPTED iff every sample
+    (the first fires at t=0, before the merge starts) stays within the
+    noise/membw gates; contended reps are recorded but re-run, bounded at
+    ``reps + SCALE_EXTRA_ATTEMPTS`` total attempts. min-of-accepted-reps is
+    the estimator: identical work per rep, so the minimum over
+    certified-quiet windows measures engine capability, not neighbor load."""
     import time as _time
-
-    from pyspark.sql import functions as F
 
     from datacollector_spark.lake import LakeTable
     from datacollector_spark.model import KEY_COLUMNS, transcripts_schema
@@ -328,25 +381,32 @@ def _run_scaling_leg(
     if merge_mode == "mor":
         table.compact_deltas()
     table.expire_snapshots(keep_last=1)
-    walls, probes, bw_probes = [], [], []
-    for i in range(reps):
-        probes.append(_noise_probe())
-        bw_probes.append(_bandwidth_probe())
+    walls: list[float] = []
+    accepted: list[bool] = []
+    rep_samples: list[list[dict]] = []
+    attempt = 0
+    while attempt < reps + SCALE_EXTRA_ATTEMPTS and sum(accepted) < reps:
         c = transcript_transforms(lww_collapse(raw))
-        t0 = _time.time()
-        table.merge(c, commit_key=f"rep-{i}", mode=merge_mode)
-        walls.append(round(_time.time() - t0, 2))
+        wall, samples = _sampled(
+            lambda: table.merge(c, commit_key=f"rep-{attempt}", mode=merge_mode)
+        )
+        walls.append(round(wall, 2))
+        accepted.append(_rep_accepted(samples))
+        rep_samples.append(samples)
         if merge_mode == "mor":
             table.compact_deltas()
         table.expire_snapshots(keep_last=1)
+        attempt += 1
     shutil.rmtree(work, ignore_errors=True)
+    acc_walls = [w for w, a in zip(walls, accepted) if a]
     return {
         "cores": cores,
         "mode": merge_mode,
         "walls": walls,
-        "noise_probe_s": probes,
-        "membw_probe_gbps": bw_probes,
+        "accepted": accepted,
+        "rep_samples": rep_samples,
         "min_wall_s": min(walls),
+        "min_accepted_wall_s": min(acc_walls) if acc_walls else None,
     }
 
 
@@ -472,31 +532,39 @@ def main() -> None:
         # per-rep single-thread noise probe documents in-window contention.
         walls_high: list[float] = []
         walls_low: list[float] = []
-        probes_high: list[float] = []
-        probes_low: list[float] = []
-        bw_high: list[float] = []
-        bw_low: list[float] = []
+        acc_high: list[bool] = []
+        acc_low: list[bool] = []
+        samples_high: list[list[dict]] = []
+        samples_low: list[list[dict]] = []
         eff_rounds: list[float] = []
         for _ in range(SCALE_ROUNDS):
             s_high = _spawn_leg(SCALE_HIGH, scale_seg_dir, "scale")
             walls_high += s_high["walls"]
-            probes_high += s_high["noise_probe_s"]
-            bw_high += s_high["membw_probe_gbps"]
+            acc_high += s_high["accepted"]
+            samples_high += s_high["rep_samples"]
             s_low = _spawn_leg(SCALE_LOW, scale_seg_dir, "scale")
             walls_low += s_low["walls"]
-            probes_low += s_low["noise_probe_s"]
-            bw_low += s_low["membw_probe_gbps"]
-            # per-round efficiency: min-of-reps within this round's two legs
-            eff_rounds.append(
-                round(
-                    (min(s_low["walls"]) / min(s_high["walls"]))
-                    / (SCALE_HIGH / SCALE_LOW),
-                    3,
-                )
-            )
-        thr_s_high = n_scale / min(walls_high)
-        thr_s_low = n_scale / min(walls_low)
+            acc_low += s_low["accepted"]
+            samples_low += s_low["rep_samples"]
+            # per-round efficiency over this round's ACCEPTED reps (all
+            # reps if a leg had none accepted — recorded either way)
+            rh = s_high["min_accepted_wall_s"] or s_high["min_wall_s"]
+            rl = s_low["min_accepted_wall_s"] or s_low["min_wall_s"]
+            eff_rounds.append(round((rl / rh) / (SCALE_HIGH / SCALE_LOW), 3))
+
+        def _leg_min(walls: list[float], acc: list[bool]) -> tuple[float, bool]:
+            chosen = [w for w, a in zip(walls, acc) if a]
+            return (min(chosen), True) if chosen else (min(walls), False)
+
+        min_high, gated_high = _leg_min(walls_high, acc_high)
+        min_low, gated_low = _leg_min(walls_low, acc_low)
+        thr_s_high = n_scale / min_high
+        thr_s_low = n_scale / min_low
+        # headline efficiency = over contention-gated reps (the engine's
+        # capability); the ungated all-reps number is kept alongside so the
+        # gating is auditable, not silent
         eff = (thr_s_high / thr_s_low) / (SCALE_HIGH / SCALE_LOW)
+        eff_all = (min(walls_low) / min(walls_high)) / (SCALE_HIGH / SCALE_LOW)
         # median across full protocol rounds: the min-of-all-reps estimator
         # can exceed 1.0 under noise (one fast outlier in the high leg); the
         # per-round median is the robust companion the judge asked for
@@ -512,23 +580,26 @@ def main() -> None:
             "protocol": f"same full {n_scale}-event changelog applied as "
             f"one batch; {SCALE_ROUNDS} alternating sequential rounds of "
             f"(high leg x{SCALE_REPS_HIGH} reps, low leg x{SCALE_REPS} "
-            "reps), full-size untimed warmup rep per leg, min wall per "
-            "leg across all rounds (min-of-reps estimates noise-free "
-            "capability on a shared host with 4-7x neighbor-noise swings; "
-            "noise_probe_s = wall of a fixed ~0.2s single-thread task "
-            "before each rep, quiet baseline ~0.2)",
+            "reps), full-size untimed warmup rep per leg. Rep-level "
+            f"contention gating: a rep is accepted iff every 3s in-rep "
+            f"sample has noise<={NOISE_GATE_S}s and membw>="
+            f"{MEMBW_GATE_GBPS}GB/s (quiet baselines ~0.13s / 14-16GB/s); "
+            f"contended reps re-run, +{SCALE_EXTRA_ATTEMPTS} attempts max "
+            "per leg. efficiency = min-of-accepted-reps per leg; "
+            "efficiency_all_reps = ungated, kept for audit",
             "events": n_scale,
             "cores_low": SCALE_LOW,
             "walls_low": walls_low,
-            "noise_probe_low_s": probes_low,
-            "membw_probe_low_gbps": bw_low,
+            "accepted_low": acc_low,
             "thr_low": round(thr_s_low, 1),
             "cores_high": SCALE_HIGH,
             "walls_high": walls_high,
-            "noise_probe_high_s": probes_high,
-            "membw_probe_high_gbps": bw_high,
+            "accepted_high": acc_high,
             "thr_high": round(thr_s_high, 1),
             "efficiency": round(eff, 3),
+            "efficiency_gated": gated_high and gated_low,
+            "n_accepted": [sum(acc_low), sum(acc_high)],
+            "efficiency_all_reps": round(eff_all, 3),
             "efficiency_per_round": eff_rounds,
             "efficiency_median": eff_median,
             "host_cpu_ceiling": ceiling,
@@ -538,6 +609,14 @@ def main() -> None:
             if ceiling["efficiency"]
             else None,
         }
+        # full per-rep sampler timelines go to the sidecar only (they made
+        # the r3 final line unparseable for the driver)
+        result_sidecar_extra = {
+            "scaling_rep_samples_low": samples_low,
+            "scaling_rep_samples_high": samples_high,
+        }
+    else:
+        result_sidecar_extra = {}
 
     # MOR ingest throughput at the same high-core count (merge wall only;
     # compaction runs after the timed window, as it would on a schedule)
@@ -560,7 +639,47 @@ def main() -> None:
     result["value"] = round(sum(queries.values()), 3)
     result["wall_total_sec"] = round(time.time() - t_suite, 3)
     result["queries"] = queries
-    print(json.dumps(result))
+
+    # The FULL result (probe timelines, per-batch phase timings, per-rep
+    # samples) goes to a sidecar file; the stdout line is a COMPACT summary.
+    # Rationale: the driver parses the last stdout line from a bounded tail
+    # capture — r3's probe-enriched line overflowed it and the artifact
+    # recorded parsed:null. Everything bulky is sidecar-only by design.
+    sidecar = dict(result)
+    sidecar.update(result_sidecar_extra)
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "queries": queries,
+        "wall_total_sec": result["wall_total_sec"],
+        "cdc": {
+            k: result["cdc"][k]
+            for k in ("events", "wall_s", "events_per_sec", "steady_events_per_sec", "cores")
+        },
+        "mor": result["mor"],
+        "sidecar": "BENCH_SIDECAR.json",
+    }
+    if "scaling" in result:
+        s = result["scaling"]
+        compact["scaling"] = {
+            k: s[k]
+            for k in (
+                "events", "cores_low", "cores_high", "thr_low", "thr_high",
+                "efficiency", "efficiency_gated", "n_accepted",
+                "efficiency_all_reps", "efficiency_per_round",
+                "efficiency_median", "efficiency_vs_host_ceiling",
+            )
+        }
+        compact["scaling"]["host_ceiling"] = s["host_cpu_ceiling"]["efficiency"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
