@@ -67,6 +67,7 @@ _FN_MAP = {
     "math:floor": "floor",
     "math:max": "greatest",
     "math:min": "least",
+    "math:round": "round",
     "time:millisecondsToDateTime": "timestamp_millis",
     "time:extractStringFromDate": "date_format",
     "time:dateTimeToMilliseconds": "unix_millis",
@@ -275,7 +276,51 @@ def _special_forms() -> dict:
             raise ValueError("str:truncate takes (string, endIndex)")
         return f"left({args[0]}, {args[1]})"
 
+    # XML entity escaping (StringEL.java:270-296, commons-text
+    # StringEscapeUtils). Approximation: the five XML entities ('&' first
+    # on escape, last on unescape); escapeXml10's control-char stripping is
+    # not replicated (no control chars survive the engine's text decoders).
+    _XML = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]
+
+    # the apostrophe is emitted as chr(39), never as an escaped quote
+    # literal: the translator's own quote-state scanners (and EL source
+    # text) have no backslash-escape concept, so a generated '\'' would
+    # desynchronize any later rewrite pass over the same expression
+    def escape_xml(args):
+        (s,) = args
+        out = s
+        for ch, ent in _XML:
+            lit = "chr(39)" if ch == "'" else f"'{ch}'"
+            out = f"replace({out}, {lit}, '{ent}')"
+        return out
+
+    def unescape_xml(args):
+        (s,) = args
+        out = s
+        for ch, ent in reversed(_XML):
+            lit = "chr(39)" if ch == "'" else f"'{ch}'"
+            out = f"replace({out}, '{ent}', {lit})"
+        return out
+
+    def b64_encode(args):
+        # Base64EL.java:32-44 (string, urlSafe[, charset]): commons-codec
+        # urlSafe uses -_ and omits '=' padding; charset UTF-8 only here
+        s = args[0]
+        out = f"base64(cast({s} AS BINARY))"
+        if len(args) >= 2 and args[1].strip().lower() == "true":
+            out = f"replace(translate({out}, '+/', '-_'), '=', '')"
+        return out
+
+    def b64_decode(args):
+        return f"cast(unbase64({args[0]}) AS STRING)"
+
     return {
+        "str:escapeXML10": escape_xml,
+        "str:escapeXML11": escape_xml,
+        "str:unescapeXML": unescape_xml,
+        "base64:encodeString": b64_encode,
+        "base64:decodeString": b64_decode,
+        "base64:decodeBytes": lambda args: f"unbase64({args[0]})",
         "record:value": rec_value,
         "record:attribute": rec_value,  # headers are columns here (SURVEY §1.2)
         "record:valueOrDefault": rec_value_or_default,

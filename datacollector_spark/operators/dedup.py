@@ -387,13 +387,22 @@ def connected_components_star(
 
 
 def dedup_corpus_by_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, algorithm: str = "min_label"
 ) -> DataFrame:
     """Corpus dedup from pair evidence: keep ONE representative (min id)
     per connected component of the near-dup graph, plus every unpaired
     document. The end-to-end shape: pairs (minhash/simhash/embedding) ->
-    components -> survivors."""
-    comp = connected_components(pairs)
+    components -> survivors.
+
+    ``algorithm``: 'min_label' (O(diameter) rounds — the right default for
+    near-dup graphs, diameter 1-3) or 'star' (large-star/small-star,
+    O(log n) rounds — for adversarial chain-shaped graphs)."""
+    if algorithm == "star":
+        comp = connected_components_star(pairs)
+    elif algorithm == "min_label":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: min_label | star")
     losers = comp.where(F.col("node") != F.col("label")).select(
         F.col("node").alias(id_col)
     )

@@ -28,20 +28,25 @@ def stream_selector(
     """Route rows to named lanes by ORDERED SQL predicates; first match wins.
 
     basic-lib/.../processor/selector/SelectorProcessor.java:114. Returns
-    {lane: DataFrame}. Single-pass: a routing column is computed once, each
-    lane is a filter on it (Catalyst prunes the others per lane).
-    """
-    route = None
+    {lane: DataFrame}.
+
+    Each lane is a PLAIN conjunctive filter — its own predicate AND the
+    negation of every earlier lane's (null predicates count as non-matches,
+    like the CASE fall-through the reference evaluates). Plain filters are
+    what Catalyst can push into the parquet scan (a routing CASE column
+    blocks pushdown — measured in the explain audit): at 100 TB a selector
+    lane that reads 1% of rows scans 1% of row groups instead of
+    post-filtering the full table."""
+    lanes: dict[str, DataFrame] = {}
+    prev = F.lit(False)
     for lane, cond in conditions:
-        route = (
-            F.when(F.expr(cond), F.lit(lane))
-            if route is None
-            else route.when(F.expr(cond), F.lit(lane))
-        )
-    route = route.otherwise(F.lit(default_lane)) if route is not None else F.lit(default_lane)
-    routed = df.withColumn("_lane", route)
-    lanes = [lane for lane, _ in conditions] + [default_lane]
-    return {lane: routed.where(F.col("_lane") == lane).drop("_lane") for lane in lanes}
+        p = F.expr(cond)
+        lanes[lane] = df.where(p & ~prev)
+        # null p must fall through to LATER lanes, so the accumulator
+        # treats it as false (matching CASE WHEN semantics)
+        prev = prev | F.coalesce(p.cast("boolean"), F.lit(False))
+    lanes[default_lane] = df.where(~prev)
+    return lanes
 
 
 def precondition_filter(

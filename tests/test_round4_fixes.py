@@ -407,3 +407,45 @@ def test_dedup_oracle_parity_above_toy_scale(spark):
     }
     exp_comp = set(map(tuple, con.execute(oracles["dedup_components"]).fetchall()))
     assert got_comp == exp_comp
+
+
+def test_el_xml_base64_round(spark):
+    """Second round-4 census batch: str:escapeXML10/11, str:unescapeXML
+    (StringEL.java:270-296), base64:encodeString/decodeString/decodeBytes
+    (Base64EL.java:32-66, urlSafe -_ with padding stripped), math:round."""
+    df = spark.createDataFrame([("a<b>&\"c'd", "YWJj", 2.5)], "t string, b64 string, v double")
+
+    def ev(el):
+        return df.select(el_expr(el).alias("v")).first()["v"]
+
+    esc = ev("${str:escapeXML10(record:value('/t'))}")
+    assert esc == "a&lt;b&gt;&amp;&quot;c&apos;d"
+    assert ev(f"${{str:unescapeXML('{esc}')}}") == "a<b>&\"c'd"
+    assert ev("${base64:decodeString(b64, 'UTF-8')}") == "abc"
+    assert ev("${base64:encodeString('abc', false, 'UTF-8')}") == "YWJj"
+    # urlSafe: -_ alphabet, padding stripped (sunny>? uses chars mapping to +/)
+    assert ev("${base64:encodeString('ab', true, 'UTF-8')}") == "YWI"
+    assert ev("${math:round(v)}") == 3
+    # round-trip through escape/unescape is identity for arbitrary text
+    assert ev("${str:unescapeXML(str:escapeXML11(record:value('/t')))}") == "a<b>&\"c'd"
+
+
+def test_dedup_corpus_by_pairs_star_algorithm(spark):
+    """dedup_corpus_by_pairs(algorithm='star') keeps exactly the same
+    survivors as the min-label default; unknown algorithm raises."""
+    from datacollector_spark.operators.dedup import dedup_corpus_by_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    a = sorted(r["doc_id"] for r in dedup_corpus_by_pairs(docs, pairs, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dedup_corpus_by_pairs(docs, pairs, "doc_id", algorithm="star").collect()
+    )
+    assert a == b == [1, 10, 99]
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup_corpus_by_pairs(docs, pairs, "doc_id", algorithm="banana")

@@ -232,6 +232,48 @@ def main() -> None:
         )
     )
 
+    # 11c) capped minhash (the mega-bucket defense): the row_number
+    # truncation must ride the SAME (band, bh) exchange the groupBy needs —
+    # one band exchange even with the cap on, no join, no extra shuffle
+    from datacollector_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", verify_threshold=None, max_bucket_size=100
+        )
+    )
+    band_ex = len(re.findall(r"hashpartitioning\(_band", p))
+    checks.append(
+        (
+            "minhash mega-bucket cap (max_bucket_size=100)",
+            p,
+            [
+                ("cap window planned", "Window" in p),
+                ("still exactly one band exchange", band_ex == 1),
+                ("no python eval", "Python" not in p),
+            ],
+        )
+    )
+
+    # 11d) ported SDC config: the selector predicate must reach the parquet
+    # scan as a pushed filter (EL -> SQL -> Catalyst pushdown, end to end)
+    p = plan_of(qs["el_ported_config"](spark, sf_dir))
+    checks.append(
+        (
+            "ported config selector pushdown (el_ported_config)",
+            p,
+            [
+                (
+                    "selector predicate pushed to scan",
+                    "PushedFilters" in p and "event_type" in p.split("PushedFilters")[1][:200],
+                ),
+                ("no python eval", "Python" not in p),
+                ("no exchange (selector+evaluator fuse into the scan)", "Exchange" not in p),
+            ],
+        )
+    )
+
     # 11) SPLIT lookup: broadcast join, never sort-merge
     p = plan_of(qs["lookup_split_multiplicity"](spark, sf_dir))
     checks.append(
