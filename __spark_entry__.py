@@ -993,6 +993,27 @@ def q_el_ported_config(spark, sf_dir):
     return spec.build(spark)["Expr_01OutputLane1"]
 
 
+def q_el_dir_template(spark, sf_dir):
+    """Time-basis directory template (the reference's file-sink layout EL,
+    HdfsTargetConfigBean.java:175-187 + TimeEL.java:50-99): resolve
+    ``/out/${YYYY()}-${MM()}-${DD()}/${record:value('/event_type')}`` per
+    row against the event-time driver and count rows per directory — the
+    partitionBy layout a Spark FS sink would write."""
+    from datacollector_spark.functions.el import el_dir_template
+
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "dir",
+            el_dir_template(
+                "/out/${YYYY()}-${MM()}-${DD()}/${record:value('/event_type')}", "ts"
+            ),
+        )
+        .groupBy("dir")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from datacollector_spark.operators.dedup import simhash_near_pairs
 
@@ -1164,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "dedup_simhash": q_dedup_simhash,
         "el_ported_config": q_el_ported_config,
+        "el_dir_template": q_el_dir_template,
         "corpus_hash_split": q_corpus_hash_split,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1525,6 +1547,11 @@ def oracle_sql() -> dict[str, str]:
                    event_id % 10 AS eid_bucket
             FROM events
             WHERE event_type = 'click' AND NOT (value < 10.0)
+        """,
+        "el_dir_template": """
+            SELECT '/out/' || strftime(ts, '%Y-%m-%d') || '/' || event_type AS dir,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "corpus_hash_split": _hash_split_oracle({"train": 0.8, "val": 0.1, "test": 0.1}),
         "dedup_simhash": _simhash_oracle(max_hamming=3, chunks=4),

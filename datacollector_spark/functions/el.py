@@ -390,6 +390,47 @@ def el_expr(el: str) -> Column:
     return F.expr(el_to_sql(el))
 
 
+_TMPL_TIME_FMT = {
+    "YYYY": "yyyy", "YY": "yy", "MM": "MM", "DD": "dd",
+    "hh": "HH", "mm": "mm", "ss": "ss", "SSS": "SSS",
+}
+_TMPL_TOKEN = re.compile(r"\$\{([^}]*)\}")
+
+
+def el_dir_template(template: str, time_col: str = "ts") -> Column:
+    """Directory-template EL -> per-row resolved path Column.
+
+    The reference's file sinks build output directories from templates like
+    ``/out/${YYYY()}-${MM()}-${DD()}-${hh()}/${record:value('/type')}``
+    (HdfsTargetConfigBean.java:175-187; the no-arg time functions are
+    TimeEL.java:50-99, resolved against the configured ``timeDriver`` —
+    here ``time_col``, the event-time column, matching the reference's
+    record-field time basis). The Spark-native execution of a time-based
+    directory layout is exactly this column + ``write.partitionBy`` — each
+    distinct resolved path becomes one output directory, written in the
+    same pass (the reference hand-manages one writer per open directory;
+    Spark's committer does it declaratively).
+
+    Time zone: the session zone (UTC in this engine) — the reference's
+    ``Data Time Zone`` config, fixed to its default.
+    """
+    cols: list[Column] = []
+    last = 0
+    for m in _TMPL_TOKEN.finditer(template):
+        if m.start() > last:
+            cols.append(F.lit(template[last:m.start()]))
+        token = m.group(1).strip()
+        tm = re.fullmatch(r"([A-Za-z]+)\(\)", token)
+        if tm and tm.group(1) in _TMPL_TIME_FMT:
+            cols.append(F.date_format(F.col(time_col), _TMPL_TIME_FMT[tm.group(1)]))
+        else:
+            cols.append(F.expr(el_to_sql("${" + token + "}")).cast("string"))
+        last = m.end()
+    if last < len(template):
+        cols.append(F.lit(template[last:]))
+    return F.concat(*cols) if cols else F.lit(template)
+
+
 def el_condition(el: str) -> Column:
     """EL predicate -> boolean Column (preconditions / stream selector)."""
     return el_expr(el).cast("boolean")

@@ -449,3 +449,68 @@ def test_dedup_corpus_by_pairs_star_algorithm(spark):
     assert a == b == [1, 10, 99]
     with pytest.raises(ValueError, match="unknown algorithm"):
         dedup_corpus_by_pairs(docs, pairs, "doc_id", algorithm="banana")
+
+
+def test_assemble_conversations_event_time_checkpoint_restart(spark, tmp_path):
+    """Event-time assembler state survives a stop/restart: run 1 drains two
+    batches and leaves conv A active in state; run 2 (same checkpoint) adds
+    later event-time traffic whose watermark expires A — A emits ONCE, in
+    run 2, assembled from turns delivered across BOTH runs."""
+    import time
+
+    from datacollector_spark.streaming.stateful import (
+        assemble_conversations_event_time,
+    )
+
+    seg = tmp_path / "turns"
+    seg.mkdir()
+    raw_schema = "conv_id string, turn_idx int, role string, text string, event_time string"
+    schema = "conv_id string, turn_idx int, role string, text string, event_time timestamp"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, raw_schema).selectExpr(
+            "conv_id", "turn_idx", "role", "text",
+            "cast(event_time as timestamp) as event_time",
+        ).coalesce(1).write.parquet(str(seg / name))
+        time.sleep(0.05)
+
+    out_dir = str(tmp_path / "assembled")
+
+    def drain(_qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(seg) + "/f*")
+        )
+        out = assemble_conversations_event_time(stream, gap_ms=60_000)
+        # file sink: the one that actually supports checkpoint recovery
+        # (memory sink refuses to resume — it cannot replay its output)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:  # no files yet -> nothing emitted
+            return []
+
+    # run 1: conv A only, still inside its event-time gap at drain end
+    write("f1", [("A", 0, "user", "hi", "2024-01-01 10:00:00")])
+    write("f2", [("A", 1, "assistant", "hello", "2024-01-01 10:00:10")])
+    rows1 = drain("asm_ckpt_r1")
+    assert rows1 == []  # A active -> stays in checkpointed state
+
+    # run 2: same checkpoint; much later event-time traffic pushes the
+    # watermark past A's quiet horizon
+    write("f3", [("B", 0, "user", "later", "2024-01-01 10:30:00")])
+    write("f4", [("B", 1, "assistant", "ok", "2024-01-01 10:30:05")])
+    rows2 = {r["conv_id"]: r for r in drain("asm_ckpt_r2")}
+    assert list(rows2) == ["A"]
+    a = rows2["A"]
+    # assembled from state written in run 1 — restart lost nothing
+    assert a["n_turns"] == 2 and a["transcript"] == "user: hi\nassistant: hello"
+    assert a["reason"] == "event_time_gap"
