@@ -452,6 +452,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -470,6 +471,13 @@ def simhash_near_pairs(
     joinback at all. Buckets are tiny by design (a hot bucket means a
     near-identical cluster, which IS the signal); the pair blowup is
     confined within buckets.
+
+    ``max_bucket_size``: the same mega-bucket defense as
+    minhash_lsh_pairs — a cluster of near-identical docs shares every
+    fingerprint CHUNK, so one adversarial cluster fills one (chunk, value)
+    bucket with N ids; the row_number truncation (inside the same chunk
+    exchange, min-id order, deterministic) bounds the expansion at cap^2
+    per bucket. Retained-id connectivity survives via the other chunks.
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole requires max_hamming < chunks")
@@ -489,6 +497,15 @@ def simhash_near_pairs(
             )
         ).alias("_chunk", "_cv"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_chunk", "_cv").orderBy("_id")
+        chunked = (
+            chunked.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     grouped = (
         chunked.groupBy("_chunk", "_cv")
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_fp"))).alias("_rows"))

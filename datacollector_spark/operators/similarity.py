@@ -154,6 +154,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     planes: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share an LSH sign
     bucket (high-cosine pairs almost always do at small plane counts), then
@@ -166,12 +167,24 @@ def embedding_near_dup_pairs(
     PER SIDE and shuffle the vectors twice (or broadcast a full corpus
     copy). Vectors ride the single bucket shuffle, so the verify needs no
     joinback; per-bucket expansion cost is size^2, bounded by 2^planes
-    bucketing of the corpus."""
+    bucketing of the corpus.
+
+    ``max_bucket_size``: mega-bucket defense (minhash_lsh_pairs doctrine) —
+    a cluster of near-identical embeddings shares its sign bucket, so the
+    row_number truncation (same bucket exchange, min-id order) bounds the
+    in-bucket expansion at cap^2 while the vectors ride along."""
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("_b"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("_b").orderBy("_id")
+        b = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     grouped = (
         b.groupBy("_b")
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_v"))).alias("_rows"))

@@ -514,3 +514,61 @@ def test_assemble_conversations_event_time_checkpoint_restart(spark, tmp_path):
     # assembled from state written in run 1 — restart lost nothing
     assert a["n_turns"] == 2 and a["transcript"] == "user: hi\nassistant: hello"
     assert a["reason"] == "event_time_gap"
+
+
+def test_simhash_embedding_mega_bucket_caps(spark):
+    """The mega-bucket cap extends to the simhash and embedding families
+    (near-identical clusters share fingerprint chunks / sign buckets just
+    like minhash bands): capped runs complete with bounded pair counts and
+    a no-op cap reproduces the uncapped pair set exactly."""
+    from pyspark.sql import functions as F
+
+    from datacollector_spark.operators.dedup import simhash_near_pairs
+    from datacollector_spark.operators.similarity import embedding_near_dup_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.range(3_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " uniq"), F.col("id").cast("string")).alias("text"),
+    )
+    capped = simhash_near_pairs(docs, "doc_id", "text", max_bucket_size=40)
+    n = capped.count()
+    # each (chunk, value) bucket contributes at most C(40,2) pairs; the
+    # run completes in seconds and never approaches the C(3000,2) = 4.5M
+    # all-pairs regime an uncapped hot bucket would produce
+    assert 0 < n < 100_000
+
+    sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(sf_docs, "doc_id", "text").collect()
+    }
+    noop = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(sf_docs, "doc_id", "text", max_bucket_size=10**6).collect()
+    }
+    assert uncapped == noop
+
+    # plant exact near-dups (x2-scaled copies: scaling commutes with the
+    # cosine, so planted pairs score 1.0) — the raw table has no >=0.9 pairs
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    e_un = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(both, dim=64, threshold=0.99).collect()
+    }
+    e_noop = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            both, dim=64, threshold=0.99, max_bucket_size=10**6
+        ).collect()
+    }
+    assert e_un == e_noop and len(e_un) >= 200
