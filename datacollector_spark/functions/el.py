@@ -421,8 +421,17 @@ def el_dir_template(template: str, time_col: str = "ts") -> Column:
             cols.append(F.lit(template[last:m.start()]))
         token = m.group(1).strip()
         tm = re.fullmatch(r"([A-Za-z]+)\(\)", token)
+        ev = re.fullmatch(r"every\(\s*(\d+)\s*,\s*([A-Za-z]+)\(\)\s*\)", token)
         if tm and tm.group(1) in _TMPL_TIME_FMT:
             cols.append(F.date_format(F.col(time_col), _TMPL_TIME_FMT[tm.group(1)]))
+        elif ev and ev.group(2) in _TMPL_TIME_FMT:
+            # ${every(N, mm())}: the directory rolls every N units — the
+            # unit value floored to a multiple of N (the reference's
+            # ExtraTimeEL marker, resolved by its path template engine)
+            n = int(ev.group(1))
+            unit = F.date_format(F.col(time_col), _TMPL_TIME_FMT[ev.group(2)])
+            floored = ((unit.cast("int") / n).cast("int") * n).cast("string")
+            cols.append(F.lpad(floored, 2, "0"))
         else:
             cols.append(F.expr(el_to_sql("${" + token + "}")).cast("string"))
         last = m.end()

@@ -266,6 +266,78 @@ class PipelineSpec:
                         },
                     }
                 )
+            elif "FieldRenamerDProcessor" in klass:
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "field_renamer",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "renames": {
+                            path_to_column(r["fromFieldExpression"]):
+                                path_to_column(r["toFieldExpression"])
+                            for r in conf.get("renameMapping", [])
+                        },
+                    }
+                )
+            elif "FieldTypeConverterDProcessor" in klass:
+                # FieldTypeConverterConfig.java:41-49 {fields, targetType};
+                # SDC Field.Type -> Spark SQL type
+                type_map = {
+                    "BOOLEAN": "boolean", "BYTE": "tinyint", "SHORT": "smallint",
+                    "INTEGER": "int", "LONG": "bigint", "FLOAT": "float",
+                    "DOUBLE": "double", "DECIMAL": "decimal(38,9)",
+                    "STRING": "string", "DATE": "date", "DATETIME": "timestamp",
+                }
+                conversions: dict[str, str] = {}
+                for c in conf.get("fieldTypeConverterConfigs", []):
+                    tt = (c.get("targetType") or "").upper()
+                    if tt not in type_map:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: unsupported targetType {tt!r}"
+                        )
+                    target = type_map[tt]
+                    if tt == "DATETIME" and c.get("otherDateFormat"):
+                        target = f"timestamp:{c['otherDateFormat']}"
+                    for fld in c.get("fields", []):
+                        conversions[path_to_column(fld)] = target
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "field_type_converter",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "conversions": conversions,
+                    }
+                )
+            elif "FieldHasherDProcessor" in klass:
+                # FieldHasherConfig.java:38-49: each source field is hashed
+                # IN PLACE — one field_hasher stage per field, chained on
+                # synthetic lanes
+                algo_map = {"MD5": "md5", "SHA1": "sha1", "SHA2": "sha256"}
+                hash_cfgs = conf.get("fieldHasherConfigs", [])
+                lane_in = ins[0]
+                flat: list[tuple[str, str]] = [
+                    (fld, algo_map.get((hc.get("hashType") or "SHA2").upper(), "sha256"))
+                    for hc in hash_cfgs
+                    for fld in hc.get("sourceFieldsToHash", [])
+                ]
+                for i, (fld, algo) in enumerate(flat):
+                    last = i == len(flat) - 1
+                    lane_out = outs[0] if last else f"{name}#lane{i}"
+                    col = path_to_column(fld)
+                    stages.append(
+                        {
+                            "name": f"{name}#{i}" if not last else name,
+                            "type": "field_hasher",
+                            "in": lane_in,
+                            "out": lane_out,
+                            "columns": [col],
+                            "target": col,
+                            "algo": algo,
+                        }
+                    )
+                    lane_in = lane_out
             elif "FieldRemoverDProcessor" in klass:
                 cols = [path_to_column(p) for p in conf.get("fields", [])]
                 op = (conf.get("filterOperation") or "REMOVE").upper()

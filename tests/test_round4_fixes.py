@@ -572,3 +572,91 @@ def test_simhash_embedding_mega_bucket_caps(spark):
         ).collect()
     }
     assert e_un == e_noop and len(e_un) >= 200
+
+
+def test_sdc_config_port_renamer_converter_hasher(spark, tmp_path):
+    """Second batch of portable stage classes: FieldRenamer (renameMapping),
+    FieldTypeConverter (fieldTypeConverterConfigs), FieldHasher
+    (fieldHasherConfigs — in-place per-field hash, chained stages)."""
+    from pyspark.sql import functions as F
+
+    from datacollector_spark.plans.spec import PipelineSpec
+
+    src = spark.createDataFrame(
+        [("1", "alice", "x"), ("2", "bob", "y")], "amount string, user string, k string"
+    )
+    path = str(tmp_path / "src.parquet")
+    src.write.parquet(path)
+
+    config = {
+        "stages": [
+            {
+                "instanceName": "O",
+                "stageName": "x_DSource",
+                "configuration": [],
+                "inputLanes": [],
+                "outputLanes": ["l0"],
+            },
+            {
+                "instanceName": "Ren",
+                "stageName": "com_streamsets_pipeline_stage_processor_fieldrenamer_FieldRenamerDProcessor",
+                "configuration": [
+                    {
+                        "name": "renameMapping",
+                        "value": [{"fromFieldExpression": "/k", "toFieldExpression": "/key"}],
+                    }
+                ],
+                "inputLanes": ["l0"],
+                "outputLanes": ["l1"],
+            },
+            {
+                "instanceName": "Conv",
+                "stageName": "com_streamsets_pipeline_stage_processor_fieldtypeconverter_FieldTypeConverterDProcessor",
+                "configuration": [
+                    {
+                        "name": "fieldTypeConverterConfigs",
+                        "value": [{"fields": ["/amount"], "targetType": "LONG"}],
+                    }
+                ],
+                "inputLanes": ["l1"],
+                "outputLanes": ["l2"],
+            },
+            {
+                "instanceName": "Hash",
+                "stageName": "com_streamsets_pipeline_stage_processor_fieldhasher_FieldHasherDProcessor",
+                "configuration": [
+                    {
+                        "name": "fieldHasherConfigs",
+                        "value": [{"sourceFieldsToHash": ["/user"], "hashType": "MD5"}],
+                    }
+                ],
+                "inputLanes": ["l2"],
+                "outputLanes": ["l3"],
+            },
+        ]
+    }
+    spec = PipelineSpec.from_sdc_config(config, origin_overrides={"O": {"path": path}})
+    got = {r["key"]: r for r in spec.build(spark)["l3"].collect()}
+    assert set(got) == {"x", "y"}
+    assert got["x"]["amount"] == 1 and isinstance(got["x"]["amount"], int)
+    import hashlib
+
+    assert got["x"]["user"] == hashlib.md5(b"alice").hexdigest()
+
+
+def test_el_dir_template_every(spark):
+    """${every(N, mm())} rolls the directory every N units (ExtraTimeEL,
+    resolved as unit-floored-to-multiple-of-N like the reference's path
+    template engine)."""
+    from datacollector_spark.functions.el import el_dir_template
+
+    df = spark.createDataFrame(
+        [("2024-05-06 10:47:31",), ("2024-05-06 10:52:02",)], "ts_s string"
+    ).selectExpr("cast(ts_s as timestamp) as ts")
+    dirs = [
+        r["d"]
+        for r in df.select(
+            el_dir_template("/out/${YYYY()}-${MM()}-${DD()}-${hh()}/${every(10, mm())}", "ts").alias("d")
+        ).collect()
+    ]
+    assert dirs == ["/out/2024-05-06-10/40", "/out/2024-05-06-10/50"]
