@@ -282,7 +282,15 @@ class PipelineSpec:
                 )
             elif "FieldTypeConverterDProcessor" in klass:
                 # FieldTypeConverterConfig.java:41-49 {fields, targetType};
-                # SDC Field.Type -> Spark SQL type
+                # SDC Field.Type -> Spark SQL type. Exported configs carry
+                # dozens of defaulted keys we deliberately ignore — but
+                # wholeTypeConverterConfigs CHANGES semantics (convert-all-
+                # of-type mode), so its presence must fail loudly.
+                if conf.get("wholeTypeConverterConfigs"):
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: whole-type conversion mode "
+                        "is not ported — list fields explicitly"
+                    )
                 type_map = {
                     "BOOLEAN": "boolean", "BYTE": "tinyint", "SHORT": "smallint",
                     "INTEGER": "int", "LONG": "bigint", "FLOAT": "float",
