@@ -1014,6 +1014,222 @@ def q_el_dir_template(spark, sf_dir):
     )
 
 
+def q_el_ported_config_2(spark, sf_dir):
+    """A ten-stage stock-shaped SDC export ported end to end —
+    round-5 breadth: JSON Parser (declared schema), Field Flattener
+    (ENTIRE_RECORD), Field Masker (VARIABLE_LENGTH), Field Value Replacer
+    (conditional GREATER_THAN + null backfill), Expression Evaluator,
+    Field Splitter (TO_LAST_FIELD, original REMOVED), Local KV Lookup
+    (keyExpr EL), and a BY_TYPE whole-type Field Type Converter
+    (DATETIME -> LONG), each translated from the exported
+    configuration-bean shapes (FieldMaskConfig.java,
+    FieldValueReplacerConfig.java, SplitterDProcessor.java,
+    LocalLookupConfig.java, WholeTypeConverterConfig.java)."""
+    from datacollector_spark.plans.spec import PipelineSpec
+
+    def stage(name, klass, conf, ins, outs):
+        return {
+            "instanceName": name,
+            "stageName": klass,
+            "configuration": [{"name": k, "value": v} for k, v in conf.items()],
+            "inputLanes": ins,
+            "outputLanes": outs,
+        }
+
+    config = {
+        "pipelineConfig": {
+            "title": "ported-breadth",
+            "pipelineId": "ported-breadth-v1",
+            "stages": [
+                stage(
+                    "Origin_01",
+                    "com_streamsets_pipeline_stage_origin_spooldir_SpoolDirDSource",
+                    {}, [], ["L_origin"],
+                ),
+                stage(
+                    "Json_01",
+                    "com_streamsets_pipeline_stage_processor_jsonparser_JsonParserDProcessor",
+                    {"fieldPathToParse": "/props", "parsedFieldPath": "/pj"},
+                    ["L_origin"], ["L_json"],
+                ),
+                stage(
+                    "Flatten_01",
+                    "com_streamsets_pipeline_stage_processor_fieldflattener_FieldFlattenerDProcessor",
+                    {"config.flattenType": "ENTIRE_RECORD", "config.nameSeparator": "_"},
+                    ["L_json"], ["L_flat"],
+                ),
+                stage(
+                    "Mask_01",
+                    "com_streamsets_pipeline_stage_processor_fieldmask_FieldMaskDProcessor",
+                    {
+                        "fieldMaskConfigs": [
+                            {"fields": ["/props"], "maskType": "VARIABLE_LENGTH"}
+                        ]
+                    },
+                    ["L_flat"], ["L_mask"],
+                ),
+                stage(
+                    "Replace_01",
+                    "com_streamsets_pipeline_stage_processor_fieldvaluereplacer_FieldValueReplacerDProcessor",
+                    {
+                        "fieldsToReplaceIfNull": [
+                            {"fields": ["/event_type"], "newValue": "unknown"}
+                        ],
+                        "fieldsToConditionallyReplace": [
+                            {
+                                "fieldNames": ["/value"],
+                                "operator": "GREATER_THAN",
+                                "comparisonValue": "400",
+                                "replacementValue": "400.0",
+                            }
+                        ],
+                    },
+                    ["L_mask"], ["L_repl"],
+                ),
+                stage(
+                    "Expr_01",
+                    "com_streamsets_pipeline_stage_processor_expression_ExpressionDProcessor",
+                    {
+                        "expressionProcessorConfigs": [
+                            {
+                                "fieldToSet": "/joined",
+                                "expression": "${str:concat(str:concat("
+                                "record:value('/event_type'), '::'), "
+                                "record:value('/event_id') % 10)}",
+                            }
+                        ]
+                    },
+                    ["L_repl"], ["L_expr"],
+                ),
+                stage(
+                    "Split_01",
+                    "com_streamsets_pipeline_stage_processor_splitter_SplitterDProcessor",
+                    {
+                        "fieldPath": "/joined",
+                        "separator": "::",
+                        "fieldPathsForSplits": ["/etype_part", "/bucket_part"],
+                        "tooManySplitsAction": "TO_LAST_FIELD",
+                        "originalFieldAction": "REMOVE",
+                    },
+                    ["L_expr"], ["L_split"],
+                ),
+                stage(
+                    "KV_01",
+                    "com_streamsets_pipeline_stage_processor_kv_local_LocalLookupDProcessor",
+                    {
+                        "conf.values": [
+                            {"key": "click", "value": "Click Event"},
+                            {"key": "view", "value": "View Event"},
+                            {"key": "purchase", "value": "Purchase"},
+                            {"key": "signup", "value": "Signup"},
+                            {"key": "error", "value": "Error"},
+                        ],
+                        "conf.lookups": [
+                            {
+                                "keyExpr": "${record:value('/event_type')}",
+                                "outputFieldPath": "/label",
+                            }
+                        ],
+                    },
+                    ["L_split"], ["L_kv"],
+                ),
+                stage(
+                    "Convert_01",
+                    "com_streamsets_pipeline_stage_processor_fieldtypeconverter_FieldTypeConverterDProcessor",
+                    {
+                        "convertBy": "BY_TYPE",
+                        "wholeTypeConverterConfigs": [
+                            {"sourceType": "DATETIME", "targetType": "LONG"}
+                        ],
+                    },
+                    ["L_kv"], ["L_conv"],
+                ),
+                stage(
+                    "Trash_01",
+                    "com_streamsets_pipeline_stage_destination_devnull_ToErrorNullDTarget",
+                    {}, ["L_conv"], [],
+                ),
+            ],
+        }
+    }
+    spec = PipelineSpec.from_sdc_config(
+        config,
+        origin_overrides={"Origin_01": {"path": f"{sf_dir}/events.parquet"}},
+        stage_overrides={"Json_01": {"schema": "k bigint"}},
+    )
+    return spec.build(spark)["L_conv"]
+
+
+def q_sdc_ported_dedup_fanin(spark, sf_dir):
+    """Record Deduplicator ported from config (two output lanes:
+    UNIQUE + DUPLICATE, DeDupProcessor.java OutputStreams) feeding a
+    FAN-IN target (multiple inputLanes -> lane_combiner/unionByName, the
+    runner's CombinerPipe.java). The union of the two lanes must be
+    EXACTLY the input with multiplicity — proving the dedup split
+    partitions the batch and the config-level combiner wires fan-in."""
+    from datacollector_spark.plans.spec import PipelineSpec
+
+    config = {
+        "pipelineConfig": {
+            "title": "ported-dedup-fanin",
+            "stages": [
+                {
+                    "instanceName": "Origin_01",
+                    "stageName": "com_streamsets_pipeline_stage_origin_spooldir_SpoolDirDSource",
+                    "configuration": [],
+                    "inputLanes": [],
+                    "outputLanes": ["L_origin"],
+                },
+                {
+                    "instanceName": "DeDup_01",
+                    "stageName": "com_streamsets_pipeline_stage_processor_dedup_DeDupDProcessor",
+                    "configuration": [
+                        {"name": "compareFields", "value": "SPECIFIED_FIELDS"},
+                        {"name": "fieldsToCompare", "value": ["/user_id", "/event_type"]},
+                    ],
+                    "inputLanes": ["L_origin"],
+                    "outputLanes": ["L_unique", "L_dup"],
+                },
+                {
+                    "instanceName": "Target_01",
+                    "stageName": "com_streamsets_pipeline_stage_destination_devnull_NullDTarget",
+                    "configuration": [],
+                    "inputLanes": ["L_unique", "L_dup"],
+                    "outputLanes": [],
+                },
+            ],
+        }
+    }
+    spec = PipelineSpec.from_sdc_config(
+        config, origin_overrides={"Origin_01": {"path": f"{sf_dir}/events.parquet"}}
+    )
+    return spec.build(spark)["Target_01"]
+
+
+def q_proc_error_lane_headers(spark, sf_dir):
+    """The error lane's record header as metadata columns — the columnar
+    form of the reference's error-record header (RecordEL.java:245-292):
+    precondition_filter(stage_name=...) attaches _error_stage/_error_code/
+    _error_message, and the EL shim's record:errorCode()/errorStage()
+    read them back (el_to_sql -> plain column references)."""
+    from datacollector_spark.functions.el import el_expr
+    from datacollector_spark.operators.processors import precondition_filter
+
+    _, err = precondition_filter(
+        _t(spark, sf_dir, "events"),
+        "value >= 10",
+        stage_name="Precondition_01",
+    )
+    return err.select(
+        "event_id",
+        el_expr("${record:errorStage()}").alias("err_stage"),
+        el_expr("${record:errorCode()}").alias("err_code"),
+        el_expr("${str:contains(record:errorMessage(), 'preconditions')}").alias(
+            "is_precondition"
+        ),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from datacollector_spark.operators.dedup import simhash_near_pairs
 
@@ -1185,6 +1401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "dedup_simhash": q_dedup_simhash,
         "el_ported_config": q_el_ported_config,
+        "el_ported_config_2": q_el_ported_config_2,
+        "sdc_ported_dedup_fanin": q_sdc_ported_dedup_fanin,
+        "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
         "corpus_hash_split": q_corpus_hash_split,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1547,6 +1766,35 @@ def oracle_sql() -> dict[str, str]:
                    event_id % 10 AS eid_bucket
             FROM events
             WHERE event_type = 'click' AND NOT (value < 10.0)
+        """,
+        "el_ported_config_2": """
+            SELECT event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                   user_id,
+                   COALESCE(event_type, 'unknown') AS event_type,
+                   CASE WHEN value > 400 THEN 400.0 ELSE value END AS value,
+                   regexp_replace(props, '.', 'x', 'g') AS props,
+                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS pj_k,
+                   event_type AS etype_part,
+                   CAST(event_id % 10 AS VARCHAR) AS bucket_part,
+                   CASE event_type
+                        WHEN 'click' THEN 'Click Event'
+                        WHEN 'view' THEN 'View Event'
+                        WHEN 'purchase' THEN 'Purchase'
+                        WHEN 'signup' THEN 'Signup'
+                        WHEN 'error' THEN 'Error' END AS label
+            FROM events
+        """,
+        "sdc_ported_dedup_fanin": """
+            SELECT * FROM events
+        """,
+        "proc_error_lane_headers": """
+            SELECT event_id,
+                   'Precondition_01' AS err_stage,
+                   'CONTAINER_0051' AS err_code,
+                   TRUE AS is_precondition
+            FROM events
+            WHERE NOT coalesce(value >= 10, FALSE)
         """,
         "el_dir_template": """
             SELECT '/out/' || strftime(ts, '%Y-%m-%d') || '/' || event_type AS dir,

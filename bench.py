@@ -69,6 +69,12 @@ SCALE_BUCKETS = int(os.environ.get("DCS_BENCH_SCALE_BUCKETS", "32"))
 NOISE_GATE_S = float(os.environ.get("DCS_BENCH_NOISE_GATE", "0.25"))
 MEMBW_GATE_GBPS = float(os.environ.get("DCS_BENCH_MEMBW_GATE", "12.0"))
 SCALE_EXTRA_ATTEMPTS = int(os.environ.get("DCS_BENCH_SCALE_EXTRA", "2"))
+# per-rep gate-sample target (cadence = warmup_wall / this, floor 3 s) and
+# the minimum accepted reps per leg for efficiency_gated=true — both legs
+# then face equal gate power and the gated headline can't rest on n=1
+# (ADVICE r4)
+SCALE_GATE_SAMPLES = int(os.environ.get("DCS_BENCH_GATE_SAMPLES", "4"))
+MIN_ACCEPTED_PER_LEG = int(os.environ.get("DCS_BENCH_MIN_ACCEPTED", "3"))
 N_SEGMENTS = int(os.environ.get("DCS_BENCH_SEGMENTS", "16"))
 BATCHES = 4  # micro-batches per leg; first is warmup
 # Where segments/table/checkpoint live. The sandbox has ONE virtual disk;
@@ -302,13 +308,22 @@ def _bandwidth_probe() -> float:
     return round(1.0 / dt, 2)  # 0.5 GB read + 0.5 GB write => GB/s
 
 
-def _sampled(fn) -> tuple[float, list[dict]]:
-    """Run ``fn`` with a background noise+membw sampler (3 s cadence).
+def _sampled(fn, cadence_s: float = 3.0) -> tuple[float, list[dict]]:
+    """Run ``fn`` with a background noise+membw sampler.
     Returns (wall_s of fn alone, samples). The sampler costs ~0.3 s of one
     core per sample — identical load in both scaling legs, so the
     efficiency ratio is unaffected; its timeline is what lets a rep be
     REJECTED for contention that starts and ends mid-rep (boundary probes
-    provably miss those — see BENCH.md r3 analysis)."""
+    provably miss those — see BENCH.md r3 analysis).
+
+    ``cadence_s`` — sampling period. The scaling legs pass a
+    wall-proportional cadence so BOTH legs face the same number of gate
+    samples per rep (ADVICE r4: at a fixed 3 s cadence the ~4x-longer
+    low-core reps faced ~3x more samples, making their rejection far
+    likelier and biasing the gated estimator). try/finally guarantees the
+    sampler dies even when the timed body raises (it would otherwise burn
+    ~0.3 s CPU + 1 GB of memory traffic per period for the rest of the
+    process, contaminating later measurements)."""
     import threading
 
     samples: list[dict] = []
@@ -324,15 +339,17 @@ def _sampled(fn) -> tuple[float, list[dict]]:
                     "membw_gbps": _bandwidth_probe(),
                 }
             )
-            stop.wait(3.0)
+            stop.wait(cadence_s)
 
     th = threading.Thread(target=_s, daemon=True)
     th.start()
     t0 = time.perf_counter()
-    fn()
-    wall = time.perf_counter() - t0
-    stop.set()
-    th.join(timeout=5)
+    try:
+        fn()
+        wall = time.perf_counter() - t0
+    finally:
+        stop.set()
+        th.join(timeout=5)
     return wall, samples
 
 
@@ -374,10 +391,16 @@ def _run_scaling_leg(
     # the first full rep pays codegen/JIT/shuffle-infra growth that a small
     # slice does not reach (measured: first timed rep 1.5-4x slower than
     # steady even after a 1/16-slice warmup), and that bias hits the short
-    # high-core leg hardest. Same merge mode as the timed reps.
+    # high-core leg hardest. Same merge mode as the timed reps. The warmup
+    # wall also sets this leg's gate-sampler cadence so both legs face
+    # ~SCALE_GATE_SAMPLES gate samples per rep regardless of rep length
+    # (equal rejection probability — ADVICE r4).
+    t_warm = time.perf_counter()
     table.merge(
         transcript_transforms(lww_collapse(raw)), commit_key="warm", mode=merge_mode
     )
+    warm_wall = time.perf_counter() - t_warm
+    cadence = max(3.0, warm_wall / SCALE_GATE_SAMPLES)
     if merge_mode == "mor":
         table.compact_deltas()
     table.expire_snapshots(keep_last=1)
@@ -388,7 +411,8 @@ def _run_scaling_leg(
     while attempt < reps + SCALE_EXTRA_ATTEMPTS and sum(accepted) < reps:
         c = transcript_transforms(lww_collapse(raw))
         wall, samples = _sampled(
-            lambda: table.merge(c, commit_key=f"rep-{attempt}", mode=merge_mode)
+            lambda: table.merge(c, commit_key=f"rep-{attempt}", mode=merge_mode),
+            cadence_s=cadence,
         )
         walls.append(round(wall, 2))
         accepted.append(_rep_accepted(samples))
@@ -581,11 +605,15 @@ def main() -> None:
             f"one batch; {SCALE_ROUNDS} alternating sequential rounds of "
             f"(high leg x{SCALE_REPS_HIGH} reps, low leg x{SCALE_REPS} "
             "reps), full-size untimed warmup rep per leg. Rep-level "
-            f"contention gating: a rep is accepted iff every 3s in-rep "
+            "contention gating: a rep is accepted iff every in-rep "
             f"sample has noise<={NOISE_GATE_S}s and membw>="
             f"{MEMBW_GATE_GBPS}GB/s (quiet baselines ~0.13s / 14-16GB/s); "
+            "sampler cadence = warmup_wall/"
+            f"{SCALE_GATE_SAMPLES} per leg (floor 3s) so both legs face "
+            "equal gate power; "
             f"contended reps re-run, +{SCALE_EXTRA_ATTEMPTS} attempts max "
-            "per leg. efficiency = min-of-accepted-reps per leg; "
+            "per leg. efficiency = min-of-accepted-reps per leg, gated "
+            f"only when each leg accepts >={MIN_ACCEPTED_PER_LEG} reps; "
             "efficiency_all_reps = ungated, kept for audit",
             "events": n_scale,
             "cores_low": SCALE_LOW,
@@ -597,7 +625,14 @@ def main() -> None:
             "accepted_high": acc_high,
             "thr_high": round(thr_s_high, 1),
             "efficiency": round(eff, 3),
-            "efficiency_gated": gated_high and gated_low,
+            # gated requires BOTH legs to have >= MIN_ACCEPTED_PER_LEG
+            # accepted reps — a gated headline resting on a single
+            # surviving rep is recorded as ungated instead (ADVICE r4)
+            "efficiency_gated": gated_high
+            and gated_low
+            and sum(acc_low) >= MIN_ACCEPTED_PER_LEG
+            and sum(acc_high) >= MIN_ACCEPTED_PER_LEG,
+            "min_accepted_required": MIN_ACCEPTED_PER_LEG,
             "n_accepted": [sum(acc_low), sum(acc_high)],
             "efficiency_all_reps": round(eff_all, 3),
             "efficiency_per_round": eff_rounds,
@@ -673,8 +708,8 @@ def main() -> None:
             k: s[k]
             for k in (
                 "events", "cores_low", "cores_high", "thr_low", "thr_high",
-                "efficiency", "efficiency_gated", "n_accepted",
-                "efficiency_all_reps", "efficiency_per_round",
+                "efficiency", "efficiency_gated", "min_accepted_required",
+                "n_accepted", "efficiency_all_reps", "efficiency_per_round",
                 "efficiency_median", "efficiency_vs_host_ceiling",
             )
         }

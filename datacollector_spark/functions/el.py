@@ -9,13 +9,27 @@ vocabulary so existing pipeline configs port without rewriting every
 expression by hand.
 
 Coverage:
-  * ``record:`` value / attribute / valueOrDefault / exists / type
+  * ``record:`` value / attribute / attributeOrDefault / valueOrDefault /
+    exists / type / id / creator / path / errorCode / errorMessage /
+    errorStage / errorPipeline / errorCollectorId / errorTime /
+    eventType / eventVersion / eventCreation / dValue / dValueAt /
+    dIndex / dExists / dIsDupHeader / dHasDupHeaders / dToMap
   * ``str:`` toUpper/toLower/trim/substring/replace/replaceAll/concat/
-    length/contains/startsWith/endsWith/indexOf/regExCapture/truncate/
-    matches/urlEncode/urlDecode
-  * ``math:`` abs/ceil/floor/max/min
+    length/contains/startsWith/endsWith/indexOf/regExCapture/
+    regexCapture/truncate/matches/urlEncode/urlDecode
+  * ``math:`` abs/ceil/floor/max/min/round
   * ``time:`` now, trimDate, trimTime, millisecondsToDateTime,
-    dateTimeToMilliseconds, extractStringFromDate
+    dateTimeToMilliseconds, extractStringFromDate, extractLongFromDate,
+    extractDateFromString, extractStringFromDateTZ, createDateFromStringTZ
+  * ``file:`` fileName/parentPath/fileExtension/removeExtension/
+    pathElement (FileEL.java — pure path-string functions)
+  * runtime-metadata families resolved at TRANSLATION time from an
+    :class:`ELContext` (the reference evaluates them against the SDC
+    runtime; a ported pipeline carries the same metadata in its export
+    JSON, which ``from_sdc_config`` threads through): ``pipeline:id/
+    name/title/version``, ``sdc:id/hostname``, ``jvm:maxMemoryMB``,
+    ``runtime:conf/loadResource``, ``offset:column``, ``vault:read/
+    readWithDelay`` (injected secrets map), ``alert:info``
   * literals, arithmetic and comparison operators pass through
     (EL and SQL share them); ``&&``/``||``/``!`` -> AND/OR/NOT
 
@@ -33,10 +47,25 @@ Known approximations (documented, columnar data model — SURVEY §1.2):
     present-but-null state; absent ≈ NULL here.
   * ``str:urlEncode/urlDecode`` drop the charset argument (UTF-8 only).
   * ``str:truncate(NULL, n)`` yields NULL (reference returns "").
+  * record HEADER functions (RecordEL.java:221-310) read metadata COLUMNS
+    (``_record_id``/``_record_creator``/``_record_path``, ``_error_*``,
+    ``_event_*``) — the columnar form of the reference's record header;
+    origins and the error/event sinks attach them
+    (processors.attach_record_headers, precondition_filter error lane).
+  * delimited-record helpers (``record:dValue`` etc., RecordEL.java:
+    332-480) read a ``_delimited array<struct<header,value>>`` column —
+    the columnar form of the reference's LIST root for delimited data
+    with header spill (sources/formats.py can emit it).
+  * ``time:extractStringFromDateTZ``/``createDateFromStringTZ`` assume
+    the session zone is UTC (this engine fixes it) so tz adjustment is
+    from_utc_timestamp/to_utc_timestamp.
   * ``drift:*`` (hive-protolib metadata drift) is not expression-level in
     this engine: schema drift is handled natively by the lake layer's
     schema evolution (lake/table.py merge_schema) — drift EL calls raise
     with that pointer.
+  * NOT expression-translatable, raise by name (documented residual):
+    ``field:field`` and ``record:fieldAttribute(OrDefault)`` — per-FIELD
+    context/attributes have no columnar analog here.
 
 Unknown ``ns:fn`` calls raise with the offending name — silently passing
 them through would fail later inside Catalyst with a worse message.
@@ -59,6 +88,7 @@ _FN_MAP = {
     "str:replace": "replace",
     "str:replaceAll": "regexp_replace",
     "str:regExCapture": "regexp_extract",  # (str, regex, group) — same order
+    "str:regexCapture": "regexp_extract",  # docs list both spellings
     "str:contains": "contains",
     "str:startsWith": "startswith",
     "str:endsWith": "endswith",
@@ -314,6 +344,125 @@ def _special_forms() -> dict:
     def b64_decode(args):
         return f"cast(unbase64({args[0]}) AS STRING)"
 
+    # ---- time: second batch (TimeNowEL.java:118-230) -------------------
+    def extract_long_from_date(args):
+        # format, strip non-digits, parse as long (TimeNowEL.java:126-130)
+        d, fmt = args
+        return (
+            f"cast(regexp_replace(date_format({d}, {fmt}), '[^0-9]', '') "
+            "AS BIGINT)"
+        )
+
+    def extract_date_from_string(args):
+        s, fmt = args
+        return f"to_timestamp({s}, {fmt})"
+
+    def extract_string_from_date_tz(args):
+        # SDC formats the instant in the given zone; session zone is UTC
+        # here, so the shift is from_utc_timestamp
+        d, tz, fmt = args
+        return f"date_format(from_utc_timestamp({d}, {tz}), {fmt})"
+
+    def create_date_from_string_tz(args):
+        s, tz, fmt = args
+        return f"to_utc_timestamp(to_timestamp({s}, {fmt}), {tz})"
+
+    # ---- file: path-string functions (FileEL.java:36-120) --------------
+    def file_name(args):
+        return f"regexp_extract({args[0]}, '[^/]*$', 0)"
+
+    def parent_path(args):
+        # FilenameUtils.getFullPathNoEndSeparator: '/file.txt' -> '/',
+        # 'file.txt' -> '', '/a/b/c.txt' -> '/a/b'
+        (p,) = args
+        return (
+            f"CASE WHEN regexp_like({p}, '^/[^/]*$') THEN '/' "
+            f"ELSE regexp_replace({p}, '/?[^/]*$', '') END"
+        )
+
+    def file_extension(args):
+        # extension only counts after the LAST separator (commons-io)
+        return f"regexp_extract({args[0]}, '\\\\.([^./]+)$', 1)"
+
+    def remove_extension(args):
+        return f"regexp_replace({args[0]}, '\\\\.[^./]*$', '')"
+
+    def path_element(args):
+        # FileEL.pathElement: '/path/to/f.txt' -> index 0 = 'path';
+        # negative counts from the end; out-of-range -> null.
+        # element_at is 1-based for positives and already end-relative for
+        # negatives, so only non-negative indexes shift by one.
+        p, i = args
+        elems = f"filter(split({p}, '/'), x -> x != '')"
+        if _INT.match(i.strip()):
+            idx = str(int(i.strip()) + 1) if int(i.strip()) >= 0 else i.strip()
+        else:
+            idx = f"(CASE WHEN ({i}) >= 0 THEN ({i}) + 1 ELSE ({i}) END)"
+        return f"try_element_at({elems}, {idx})"
+
+    # ---- record: header + delimited helpers (RecordEL.java) ------------
+    # Header functions read metadata COLUMNS — the columnar form of the
+    # reference's per-record header (attach_record_headers / error lane).
+    def header_col(col):
+        return lambda args: col
+
+    def rec_attr_or_default(args):
+        if len(args) != 2:
+            raise ValueError("record:attributeOrDefault takes (name, default)")
+        return (
+            f"coalesce({_record_path_arg('record:attributeOrDefault', args)},"
+            f" {args[1]})"
+        )
+
+    # Delimited-data records (LIST of {header, value} maps,
+    # RecordEL.java:332-480) live in a `_delimited` column of
+    # array<struct<header string, value string>>.
+    _D = "_delimited"
+
+    def d_value(args):
+        return f"try_element_at(filter({_D}, x -> x.header = {args[0]}), 1).value"
+
+    def d_value_at(args):
+        return f"try_element_at({_D}, {_sub(args[0], 1)}).value"
+
+    def d_index(args):
+        # Java: first index, 0-based, -1 on miss; array_position is
+        # 1-based, 0 on miss — the -1 shift maps both conventions at once
+        return f"(array_position(transform({_D}, x -> x.header), {args[0]}) - 1)"
+
+    def d_exists(args):
+        return f"exists({_D}, x -> x.header = {args[0]})"
+
+    def d_is_dup_header(args):
+        return f"(size(filter({_D}, x -> x.header = {args[0]})) > 1)"
+
+    def d_has_dup_headers(args):
+        return (
+            f"(size({_D}) > "
+            f"size(array_distinct(transform({_D}, x -> x.header))))"
+        )
+
+    def d_to_map(args):
+        # duplicate headers: LAST wins (the reference's LinkedHashMap.put);
+        # map_from_entries raises on dup keys, so keep only each header's
+        # final occurrence first (O(cols²) per row — cols, not rows)
+        idx = (
+            f"transform({_D}, (x, i) -> "
+            "struct(x.header AS header, x.value AS value, i AS i))"
+        )
+        keep = (
+            f"filter({idx}, e -> NOT exists({idx}, "
+            "y -> y.header = e.header AND y.i > e.i))"
+        )
+        return f"map_from_entries(transform({keep}, e -> struct(e.header, e.value)))"
+
+    def field_ctx(args):
+        raise ValueError(
+            "field:field / record:fieldAttribute(OrDefault) have no "
+            "columnar analog (per-field context/attributes) — rewrite "
+            "the expression against the column directly"
+        )
+
     return {
         "str:escapeXML10": escape_xml,
         "str:escapeXML11": escape_xml,
@@ -334,6 +483,39 @@ def _special_forms() -> dict:
         "str:truncate": truncate,
         "time:trimDate": trim_date,
         "time:trimTime": trim_time,
+        "time:extractLongFromDate": extract_long_from_date,
+        "time:extractDateFromString": extract_date_from_string,
+        "time:extractStringFromDateTZ": extract_string_from_date_tz,
+        "time:createDateFromStringTZ": create_date_from_string_tz,
+        "file:fileName": file_name,
+        "file:parentPath": parent_path,
+        "file:fileExtension": file_extension,
+        "file:removeExtension": remove_extension,
+        "file:pathElement": path_element,
+        "record:id": header_col("_record_id"),
+        "record:creator": header_col("_record_creator"),
+        "record:path": header_col("_record_path"),
+        "record:attributeOrDefault": rec_attr_or_default,
+        "record:errorCode": header_col("_error_code"),
+        "record:errorMessage": header_col("_error_message"),
+        "record:errorStage": header_col("_error_stage"),
+        "record:errorPipeline": header_col("_error_pipeline"),
+        "record:errorCollectorId": header_col("_error_collector_id"),
+        "record:errorTime": header_col("_error_time"),
+        "record:eventType": header_col("_event_type"),
+        "record:eventVersion": header_col("_event_version"),
+        "record:eventCreation": header_col("_event_creation"),
+        "record:dValue": d_value,
+        "record:dValueAt": d_value_at,
+        "record:dIndex": d_index,
+        "record:dExists": d_exists,
+        "record:dIsDupHeader": d_is_dup_header,
+        "record:dHasDupHeader": d_has_dup_headers,
+        "record:dHasDupHeaders": d_has_dup_headers,
+        "record:dToMap": d_to_map,
+        "field:field": field_ctx,
+        "record:fieldAttribute": field_ctx,
+        "record:fieldAttributeOrDefault": field_ctx,
         "drift:names": drift,
         "drift:type": drift,
         "drift:size": drift,
@@ -344,19 +526,158 @@ def _special_forms() -> dict:
 _SPECIAL = _special_forms()
 
 
-def el_to_sql(el: str) -> str:
+def _sql_str_lit(value: str) -> str:
+    """A safe SQL string literal. Apostrophes are emitted as chr(39)
+    concat parts — never backslash-escaped (see the escape_xml note:
+    the translator's quote-state scanners have no escape concept)."""
+    s = str(value)
+    if "'" not in s:
+        return f"'{s}'"
+    parts: list[str] = []
+    for i, piece in enumerate(s.split("'")):
+        if i:
+            parts.append("chr(39)")
+        if piece:
+            parts.append(f"'{piece}'")
+    return f"concat({', '.join(parts)})" if len(parts) > 1 else (parts or ["''"])[0]
+
+
+class ELContext:
+    """Runtime metadata for the translation-time EL families.
+
+    The reference evaluates ``pipeline:*``/``sdc:*``/``jvm:*``/
+    ``runtime:*``/``offset:*``/``vault:*`` against the live Data Collector
+    runtime (PipelineEL/SdcEL/JvmEL/RuntimeEL in container/.../el/). Those
+    values are constants for any one pipeline run, so this engine resolves
+    them at TRANSLATION time into literals: the pipeline metadata comes
+    from the export JSON itself (``from_sdc_config`` threads it through),
+    host identity defaults to the driver host, and secrets/runtime-conf
+    are injected dicts (the credential-store / sdc.properties analog).
+    Missing values raise by name at translation — the same failure mode as
+    an unknown function, never a silent None.
+    """
+
+    def __init__(
+        self,
+        pipeline: dict | None = None,
+        sdc_id: str | None = None,
+        sdc_hostname: str | None = None,
+        jvm_max_memory_mb: int | None = None,
+        runtime_conf: dict | None = None,
+        resources_dir: str | None = None,
+        offsets: dict | None = None,
+        vault: dict | None = None,
+        alert_info: str | None = None,
+    ):
+        self.pipeline = pipeline or {}
+        self.sdc_id = sdc_id
+        self.sdc_hostname = sdc_hostname
+        self.jvm_max_memory_mb = jvm_max_memory_mb
+        self.runtime_conf = runtime_conf or {}
+        self.resources_dir = resources_dir
+        self.offsets = offsets or {}
+        self.vault = vault or {}
+        self.alert_info = alert_info
+
+
+def _context_forms(ctx: ELContext | None) -> dict:
+    ctx = ctx or ELContext()
+
+    def need(value, what):
+        def build(args):
+            if value is None:
+                raise ValueError(
+                    f"{what} needs an ELContext value — pass context= to "
+                    "el_to_sql (from_sdc_config threads pipeline metadata "
+                    "automatically)"
+                )
+            return _sql_str_lit(value)
+
+        return build
+
+    def pipeline_meta(key):
+        def build(args):
+            if key not in ctx.pipeline:
+                raise ValueError(
+                    f"pipeline:{key} needs ELContext.pipeline[{key!r}]"
+                )
+            return _sql_str_lit(ctx.pipeline[key])
+
+        return build
+
+    def hostname(args):
+        if ctx.sdc_hostname is not None:
+            return _sql_str_lit(ctx.sdc_hostname)
+        import socket
+
+        return _sql_str_lit(socket.gethostname())
+
+    def jvm_max_memory(args):
+        if ctx.jvm_max_memory_mb is None:
+            raise ValueError("jvm:maxMemoryMB needs ELContext.jvm_max_memory_mb")
+        return str(int(ctx.jvm_max_memory_mb))
+
+    def lookup(table: dict, ns_fn: str, what: str):
+        def build(args):
+            key = _quoted(args[0]) if args else None
+            if key is None:
+                raise ValueError(f"{ns_fn} requires a quoted literal key")
+            if key not in table:
+                raise ValueError(f"{ns_fn}({key!r}): no {what} entry in ELContext")
+            return _sql_str_lit(table[key])
+
+        return build
+
+    def load_resource(args):
+        # RuntimeEL.loadResource(file, restricted): reads $SDC_RESOURCES/
+        # file at evaluation time — here at translation time from
+        # ctx.resources_dir (the 'restricted' ownership check is the
+        # deployment's concern; the flag is accepted and ignored)
+        import os
+
+        fname = _quoted(args[0]) if args else None
+        if fname is None or ctx.resources_dir is None:
+            raise ValueError(
+                "runtime:loadResource needs a quoted file name and "
+                "ELContext.resources_dir"
+            )
+        with open(os.path.join(ctx.resources_dir, fname)) as f:
+            return _sql_str_lit(f.read().strip())
+
+    return {
+        "pipeline:id": pipeline_meta("id"),
+        "pipeline:name": pipeline_meta("name"),
+        "pipeline:title": pipeline_meta("title"),
+        "pipeline:version": pipeline_meta("version"),
+        "sdc:id": need(ctx.sdc_id, "sdc:id"),
+        "sdc:hostname": hostname,
+        "jvm:maxMemoryMB": jvm_max_memory,
+        "runtime:conf": lookup(ctx.runtime_conf, "runtime:conf", "runtime_conf"),
+        "runtime:loadResource": load_resource,
+        "offset:column": lookup(ctx.offsets, "offset:column", "offsets"),
+        "vault:read": lookup(ctx.vault, "vault:read", "vault"),
+        "vault:readWithDelay": lookup(ctx.vault, "vault:readWithDelay", "vault"),
+        "alert:info": need(ctx.alert_info, "alert:info"),
+    }
+
+
+def el_to_sql(el: str, context: ELContext | None = None) -> str:
     """Translate one EL string (with or without the ``${...}`` wrapper)
-    into a Spark SQL expression string."""
+    into a Spark SQL expression string. ``context`` supplies the
+    runtime-metadata families (see :class:`ELContext`)."""
     s = el.strip()
     if s.startswith("${") and s.endswith("}"):
         s = s[2:-1]
+
+    forms = dict(_SPECIAL)
+    forms.update(_context_forms(context))
 
     # special forms (argument-translating): fixpoint so nested special
     # calls — str:substring(record:value('/a'), 0, str:indexOf(x, 'b')) —
     # resolve inner-to-outer across passes
     for _ in range(32):
         before = s
-        for name, build in _SPECIAL.items():
+        for name, build in forms.items():
             s = _rewrite_calls(s, name, build)
         if s == before:
             break
@@ -385,9 +706,9 @@ def el_to_sql(el: str) -> str:
     return _map_code_segments(s, code_pass).strip()
 
 
-def el_expr(el: str) -> Column:
+def el_expr(el: str, context: ELContext | None = None) -> Column:
     """EL string -> Spark Column (the Expression Evaluator's field form)."""
-    return F.expr(el_to_sql(el))
+    return F.expr(el_to_sql(el, context))
 
 
 _TMPL_TIME_FMT = {
@@ -440,6 +761,6 @@ def el_dir_template(template: str, time_col: str = "ts") -> Column:
     return F.concat(*cols) if cols else F.lit(template)
 
 
-def el_condition(el: str) -> Column:
+def el_condition(el: str, context: ELContext | None = None) -> Column:
     """EL predicate -> boolean Column (preconditions / stream selector)."""
-    return el_expr(el).cast("boolean")
+    return el_expr(el, context).cast("boolean")

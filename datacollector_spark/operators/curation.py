@@ -51,17 +51,26 @@ def curate_corpus(
     count would recompute the quality projection, the minhash pass would
     recompute both, and the final count the whole chain — a 3-4x
     multiplier at exactly the corpus scale this module targets. The
-    returned ``survivors`` frame is left persisted (it was just counted);
-    callers unpersist after writing.
+    ``input`` count rides the quality pass as an ``observe()`` metric
+    (CollectMetrics on the pre-filter plan), so the report costs ZERO
+    extra source scans end to end. The returned ``survivors`` frame is
+    left persisted (it was just counted); callers unpersist after
+    writing.
     """
-    counts: dict[str, int] = {"input": df.count()}
+    from pyspark.sql import Observation
 
-    scored = quality_features(df, text_col)
+    counts: dict[str, int] = {}
+    obs = Observation("curation_input")
+    scored = quality_features(
+        df.observe(obs, F.count(F.lit(1)).alias("input_rows")), text_col
+    )
     kept = scored.where(F.col("quality_score") >= min_quality)
     if languages:
         kept = kept.where(lang_id(F.col(text_col)).isin(languages))
     kept = kept.select(*df.columns).persist()
     counts["after_quality"] = kept.count()
+    # the count above materialized the observed plan; get() won't block
+    counts["input"] = int(obs.get["input_rows"])
 
     reps = exact_dedup(kept, [text_col], id_col).select(id_col)
     deduped = kept.join(reps, id_col, "left_semi").persist()
@@ -76,6 +85,11 @@ def curate_corpus(
     )
     survivors = dedup_corpus_by_pairs(deduped, pairs, id_col).persist()
     counts["after_neardup"] = survivors.count()
+    if max_bucket_size is not None:
+        # a capped run is a RECALL change (over-cap band buckets drop
+        # candidate pairs), not just a performance guard — record it so
+        # the curation report shows the run was capped (ADVICE r4)
+        counts["near_dup_bucket_cap"] = max_bucket_size
     # survivors is materialized in cache by the count above; its upstream
     # cached stages can be released now
     kept.unpersist()

@@ -50,16 +50,62 @@ def stream_selector(
 
 
 def precondition_filter(
-    df: DataFrame, condition: str, required_fields: Sequence[str] = ()
+    df: DataFrame,
+    condition: str,
+    required_fields: Sequence[str] = (),
+    stage_name: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(passing, error) split — per-stage preconditions + required fields
     (container/.../runner/PreconditionsPredicate.java:52-74,
     RequiredFieldsPredicate.java). The error lane is the reference's
-    error-sink routing (ErrorSink.java)."""
+    error-sink routing (ErrorSink.java).
+
+    With ``stage_name``, the error lane carries the reference's
+    error-record header as metadata columns (``_error_stage``,
+    ``_error_code`` CONTAINER_0051/0050, ``_error_message``,
+    ``_error_time`` millis) — the columns ``record:errorCode()`` etc.
+    read after EL translation (functions/el.py record header forms)."""
     pred = F.expr(condition) if condition else F.lit(True)
     for field in required_fields:
         pred = pred & F.col(field).isNotNull()
-    return df.where(pred), df.where(~F.coalesce(pred, F.lit(False)))
+    err = df.where(~F.coalesce(pred, F.lit(False)))
+    if stage_name is not None:
+        code = "CONTAINER_0050" if required_fields else "CONTAINER_0051"
+        msg = (
+            f"missing required fields {list(required_fields)}"
+            if required_fields
+            else f"preconditions not met: {condition!r}"
+        )
+        err = err.withColumns(
+            {
+                "_error_stage": F.lit(stage_name),
+                "_error_code": F.lit(code),
+                "_error_message": F.lit(msg),
+                "_error_time": F.unix_millis(F.current_timestamp()),
+            }
+        )
+    return df.where(pred), err
+
+
+def attach_record_headers(
+    df: DataFrame, creator: str, offset_cols: Sequence[str], path: str = ""
+) -> DataFrame:
+    """Attach the reference's record-header identity as metadata columns —
+    ``_record_id`` = ``creator::offset`` (RecordImpl.java sourceId),
+    ``_record_creator``, ``_record_path`` — read by the EL record-header
+    functions (record:id()/creator()/path()). Deterministic: the id is a
+    pure function of the origin name + the record's own offset columns,
+    exactly how the reference builds sourceRecord ids."""
+    rid = F.concat_ws(
+        "::", F.lit(creator), *[F.col(c).cast("string") for c in offset_cols]
+    )
+    return df.withColumns(
+        {
+            "_record_id": rid,
+            "_record_creator": F.lit(creator),
+            "_record_path": F.lit(path or creator),
+        }
+    )
 
 
 # ------------------------------------------------------------- projections
@@ -121,14 +167,89 @@ def field_type_converter(df: DataFrame, conversions: dict[str, str | T.DataType]
     return df.withColumns(out)
 
 
+def field_type_converter_by_type(
+    df: DataFrame, conversions: dict[str, str]
+) -> DataFrame:
+    """Whole-TYPE conversion mode — every field whose CURRENT type matches
+    is converted (FieldTypeConverterProcessor.java:60-102 BY_TYPE: a
+    recursive walk over the record tree applying each matching
+    WholeTypeConverterConfig). The Spark form is a schema walk: top-level
+    columns, struct fields (recursively), and array elements are cast
+    where their type matches.
+
+    ``conversions``: {source_spark_type: target} where source is the
+    simpleString of the type to match (``"date"``, ``"bigint"``;
+    ``"decimal"`` matches any precision) and target is a Spark type or
+    ``"timestamp:<fmt>"`` for parse-through-format."""
+
+    def match(dtype: T.DataType) -> str | None:
+        simple = dtype.simpleString()
+        for src, target in conversions.items():
+            if (
+                simple == src
+                or (src == "decimal" and simple.startswith("decimal"))
+                # SDC DATETIME covers both Spark timestamp flavors
+                or (src == "timestamp" and simple == "timestamp_ntz")
+            ):
+                return target
+        return None
+
+    def changes(dtype: T.DataType) -> bool:
+        if isinstance(dtype, T.StructType):
+            return any(changes(f.dataType) for f in dtype.fields)
+        if isinstance(dtype, T.ArrayType):
+            return changes(dtype.elementType)
+        return match(dtype) is not None
+
+    def walk(col: Column, dtype: T.DataType) -> Column:
+        if isinstance(dtype, T.StructType):
+            return F.struct(
+                *[
+                    (
+                        walk(col[f.name], f.dataType)
+                        if changes(f.dataType)
+                        else col[f.name]
+                    ).alias(f.name)
+                    for f in dtype.fields
+                ]
+            )
+        if isinstance(dtype, T.ArrayType):
+            return F.transform(col, lambda x: walk(x, dtype.elementType))
+        target = match(dtype)
+        if isinstance(target, str) and target.startswith("timestamp:"):
+            return F.to_timestamp(col, target.split(":", 1)[1])
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+        if dtype.simpleString() == "timestamp_ntz" and isinstance(target, str) and any(
+            target.startswith(n) for n in numeric
+        ):
+            # ntz has no direct numeric cast; via timestamp (session zone
+            # is UTC in this engine, so the epoch is the wall-clock epoch)
+            return col.cast("timestamp").cast(target)
+        return col.cast(target)
+
+    out = {
+        f_.name: walk(F.col(f_.name), f_.dataType)
+        for f_ in df.schema.fields
+        if changes(f_.dataType)
+    }
+    return df.withColumns(out) if out else df
+
+
 def value_replacer(
     df: DataFrame,
     null_defaults: dict[str, object] | None = None,
     conditional: Sequence[tuple[str, str, object]] = (),
+    null_when: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """NULL backfill + conditional replacement —
-    fieldvaluereplacer/FieldValueReplacerProcessor.java."""
+    fieldvaluereplacer/FieldValueReplacerProcessor.java.
+    ``null_when``: [(column, condition)] sets the column NULL where the
+    condition holds (nullReplacerConditionalConfigs)."""
     out = df
+    for col, cond in null_when:
+        out = out.withColumn(
+            col, F.when(F.expr(cond), F.lit(None)).otherwise(F.col(col))
+        )
     if null_defaults:
         out = out.withColumns(
             {c: F.coalesce(F.col(c), F.lit(v)) for c, v in null_defaults.items()}
@@ -140,15 +261,40 @@ def value_replacer(
 
 # ----------------------------------------------------------- string shapes
 def field_splitter(
-    df: DataFrame, column: str, separator: str, to: Sequence[str], too_few: str = "keep_null"
+    df: DataFrame,
+    column: str,
+    separator: str,
+    to: Sequence[str],
+    too_few: str = "keep_null",
+    too_many: str = "truncate",
+    remaining_to: str | None = None,
+    keep_original: bool = True,
 ) -> DataFrame:
     """Split a string column into N columns by regex —
-    splitter/SplitterProcessor.java:147 (too-few policy: nulls)."""
-    parts = F.split(F.col(column), separator)
-    # try_element_at: the reference's too-few policy (missing parts -> null)
-    return df.withColumns(
+    splitter/SplitterProcessor.java:95-147 (too-few policy: nulls).
+
+    ``too_many`` is the reference's TooManySplitsAction:
+      * ``"to_last_field"`` — limit the split so the last field keeps the
+        remaining unsplit text (``str.split(sep, fieldPaths.length)``)
+      * ``"to_list"`` — extra splits go to ``remaining_to`` as an array
+        (remainingSplitsPath)
+      * ``"truncate"`` — extras dropped (pre-round-5 behavior, kept as
+        the default for existing callers)
+    ``keep_original=False`` is OriginalFieldAction.REMOVE."""
+    if too_many == "to_last_field":
+        parts = F.split(F.col(column), separator, len(to))
+    else:
+        parts = F.split(F.col(column), separator)
+    out = df.withColumns(
         {name: F.try_element_at(parts, F.lit(i + 1)) for i, name in enumerate(to)}
     )
+    if too_many == "to_list" and remaining_to:
+        out = out.withColumn(
+            remaining_to, F.slice(parts, len(to) + 1, F.greatest(F.size(parts) - len(to), F.lit(0)))
+        )
+    if not keep_original:
+        out = out.drop(column)
+    return out
 
 
 def field_merger(df: DataFrame, into: str, columns: Sequence[str]) -> DataFrame:
@@ -179,14 +325,77 @@ def field_flattener(
     return df.select(*[c for c in df.columns if c != column], *flat)
 
 
-def list_pivot(df: DataFrame, column: str, keep_position: bool = False) -> DataFrame:
+def field_flattener_entire(df: DataFrame, separator: str = "_") -> DataFrame:
+    """ENTIRE_RECORD flatten mode — every struct column flattened
+    recursively (fieldflattener/FieldFlattenerProcessor.java
+    flattenEntireRecord). Non-struct columns pass through in place."""
+    out = df
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.StructType):
+            out = field_flattener(out, f_.name, separator=separator, recursive=True)
+    return out
+
+
+def field_struct_merge(
+    df: DataFrame, from_col: str, to_col: str, overwrite: bool = False
+) -> DataFrame:
+    """Merge the fields of one struct column into another — the Field
+    Merger's MAP-merge semantics (fieldmerger/FieldMergerProcessor.java:
+    mergeMapping fromField -> toField; collisions error unless
+    overwriteExisting). The source column is consumed. Non-struct source/
+    target degrade to a rename/move (the reference's non-map merge is a
+    move)."""
+    from_t = df.schema[from_col].dataType
+    to_t = df.schema[to_col].dataType if to_col in df.columns else None
+    if isinstance(from_t, T.StructType) and isinstance(to_t, T.StructType):
+        from_names = [f.name for f in from_t.fields]
+        clash = [f.name for f in to_t.fields if f.name in set(from_names)]
+        if clash and not overwrite:
+            raise ValueError(
+                f"merge collision on {clash} (set overwriteExisting)"
+            )
+        kept = [
+            F.col(to_col)[f.name].alias(f.name)
+            for f in to_t.fields
+            if f.name not in set(clash)
+        ]
+        merged = [F.col(from_col)[n].alias(n) for n in from_names]
+        return df.withColumn(to_col, F.struct(*kept, *merged)).drop(from_col)
+    if to_col in df.columns and not overwrite:
+        raise ValueError(f"merge collision: {to_col} exists (set overwriteExisting)")
+    return df.withColumn(to_col, F.col(from_col)).drop(from_col)
+
+
+def list_pivot(
+    df: DataFrame,
+    column: str,
+    keep_position: bool = False,
+    into: str | None = None,
+    copy_fields: bool = True,
+    original_name_to: str | None = None,
+) -> DataFrame:
     """One row per list element — listpivot/ListPivotProcessor.java, the
     reference's only row-multiplying processor. posexplode when positions
-    are kept."""
+    are kept.
+
+    Port knobs (ListPivotDProcessor.java:55-106): ``into`` = newPath (the
+    pivoted element lands in a new column, the list column is consumed);
+    ``copy_fields=False`` makes the element the whole record;
+    ``original_name_to`` = originalFieldNamePath (saveOriginalFieldName)."""
+    target = into or column
     if keep_position:
         others = [c for c in df.columns if c != column]
-        return df.select(*others, F.posexplode(column).alias(f"{column}_pos", column))
-    return df.withColumn(column, F.explode(column))
+        out = df.select(*others, F.posexplode(column).alias(f"{column}_pos", target))
+    elif not copy_fields:
+        out = df.select(F.explode(column).alias(target))
+    elif into and into != column:
+        others = [c for c in df.columns if c != column]
+        out = df.select(*others, F.explode(column).alias(target))
+    else:
+        out = df.withColumn(column, F.explode(column))
+    if original_name_to:
+        out = out.withColumn(original_name_to, F.lit(column))
+    return out
 
 
 def field_zip(df: DataFrame, into: str, left: str, right: str) -> DataFrame:
@@ -284,12 +493,14 @@ def static_lookup(
     df: DataFrame, mapping: dict, key_column: str, value_column: str, default=None
 ) -> DataFrame:
     """Local KV lookup — basic-lib/.../processor/kv/local/LocalLookupProcessor.java.
-    Literal map, evaluated JVM-side (no shuffle, no UDF)."""
+    Literal map, evaluated JVM-side (no shuffle, no UDF). ``key_column``
+    may be any SQL expression (the reference's keyExpr EL is an
+    expression, not just a field)."""
     pairs = []
     for k, v in mapping.items():
         pairs.extend([F.lit(k), F.lit(v)])
     m = F.create_map(*pairs)
-    looked = m[F.col(key_column)]
+    looked = m[F.expr(key_column)]
     if default is not None:
         looked = F.coalesce(looked, F.lit(default))
     return df.withColumn(value_column, looked)

@@ -58,6 +58,8 @@ _PROCESSORS: dict[str, tuple[Any, list[str]]] = {
     "field_renamer": (P.field_renamer, ["renames"]),
     "field_splitter": (P.field_splitter, ["column", "separator", "to"]),
     "field_type_converter": (P.field_type_converter, ["conversions"]),
+    "field_type_converter_by_type": (P.field_type_converter_by_type, ["conversions"]),
+    "field_order": (P.field_order, ["order"]),
     "value_replacer": (P.value_replacer, []),
     "expression_evaluator": (P.expression_evaluator, ["expressions"]),
     "json_parser": (P.json_parser, ["column", "schema", "into"]),
@@ -67,7 +69,9 @@ _PROCESSORS: dict[str, tuple[Any, list[str]]] = {
     "list_pivot": (P.list_pivot, ["column"]),
     "field_zip": (P.field_zip, ["into", "left", "right"]),
     "field_merger": (P.field_merger, ["into", "columns"]),
+    "field_struct_merge": (P.field_struct_merge, ["from_col", "to_col"]),
     "field_flattener": (P.field_flattener, ["column"]),
+    "field_flattener_entire": (P.field_flattener_entire, []),
 }
 
 
@@ -116,6 +120,28 @@ class PipelineSpec:
             elif typ == "precondition_filter":
                 producers[st.get("out", "ok")] = name
                 producers[st.get("error_lane", "errors")] = name
+            elif typ == "record_dedup":
+                # two output lanes: unique + duplicate (DeDupProcessor.java:
+                # OutputStreams UNIQUE/DUPLICATE ordinals)
+                producers[st.get("out", "unique")] = name
+                producers[st.get("dup_lane", "duplicates")] = name
+            elif typ == "lane_combiner":
+                # fan-in: all consumed lanes must already exist
+                # (runner/CombinerPipe.java — union of the input lanes)
+                for lane_in in st.get("in_lanes", []):
+                    if lane_in not in producers:
+                        raise ValidationError(
+                            f"VALIDATION_0005: stage {name!r} consumes "
+                            f"unproduced lane {lane_in!r}"
+                        )
+                if not st.get("in_lanes"):
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: lane_combiner needs 'in_lanes'"
+                    )
+                out = st.get("out", "combined")
+                if out in producers:
+                    raise ValidationError(f"VALIDATION_0004: lane {out!r} produced twice")
+                producers[out] = name
             elif typ in _PROCESSORS:
                 _, req = _PROCESSORS[typ]
                 for key in req:
@@ -176,9 +202,23 @@ class PipelineSpec:
                     lanes[st["in"]],
                     st.get("condition", ""),
                     st.get("required_fields", ()),
+                    stage_name=st.get("stage_name"),
                 )
                 _place(st.get("out", "ok"), ok)
                 _place(st.get("error_lane", "errors"), err)
+            elif typ == "record_dedup":
+                unique, dup = P.record_deduplicator(
+                    lanes[st["in"]],
+                    columns=st.get("columns"),
+                    order_column=st.get("order_column"),
+                )
+                _place(st.get("out", "unique"), unique)
+                _place(st.get("dup_lane", "duplicates"), dup)
+            elif typ == "lane_combiner":
+                combined = lanes[st["in_lanes"][0]]
+                for lane_in in st["in_lanes"][1:]:
+                    combined = combined.unionByName(lanes[lane_in])
+                _place(st.get("out", "combined"), combined)
             elif typ in _PROCESSORS:
                 fn, _ = _PROCESSORS[typ]
                 _place(st.get("out", st["in"]), fn(lanes[st["in"]], **cfg))
@@ -193,22 +233,64 @@ class PipelineSpec:
         cls,
         pipeline_config: dict,
         origin_overrides: dict[str, dict] | None = None,
+        stage_overrides: dict[str, dict] | None = None,
     ) -> "PipelineSpec":
         """Port a stock SDC pipeline-config JSON (the reference's export
         format: ``stages[]`` with ``instanceName``/``stageName``/
         ``configuration``/``inputLanes``/``outputLanes`` —
         container/.../config/PipelineConfiguration.java) into a
         PipelineSpec, translating every EL expression through
-        :func:`~datacollector_spark.functions.el.el_to_sql`.
+        :func:`~datacollector_spark.functions.el.el_to_sql` with an
+        :class:`~datacollector_spark.functions.el.ELContext` built from
+        the export's own pipeline metadata (so ``pipeline:title()`` etc.
+        resolve to the ported pipeline's values).
 
-        Supported stage classes (the stock selector+evaluator pipelines):
+        Supported stage classes:
           * ``*SelectorDProcessor`` — ``lanePredicates`` [{outputLane,
             predicate}] where the last predicate is the literal "default"
             (SelectorProcessor.java:66-67,92-110)
           * ``*ExpressionDProcessor`` — ``expressionProcessorConfigs``
             [{fieldToSet, expression}] (ExpressionProcessorConfig.java:41,54)
           * ``*FieldRemoverDProcessor`` — ``fields`` + ``filterOperation``
-            REMOVE/KEEP
+          * ``*FieldRenamerDProcessor`` — ``renameMapping``
+          * ``*FieldTypeConverterDProcessor`` — BY_FIELD
+            (``fieldTypeConverterConfigs``) AND BY_TYPE
+            (``wholeTypeConverterConfigs`` — convert every field of the
+            source type, FieldTypeConverterProcessor.java:60-102)
+          * ``*FieldHasherDProcessor`` — ``fieldHasherConfigs`` (in-place,
+            chained); an empty config list is a clear VALIDATION error
+          * ``*FieldMaskDProcessor`` — ``fieldMaskConfigs``
+            (FieldMaskConfig.java:28-88, all four mask types)
+          * ``*FieldValueReplacerDProcessor`` — ``fieldsToReplaceIfNull``
+            + ``fieldsToConditionallyReplace`` +
+            ``nullReplacerConditionalConfigs``
+            (FieldValueReplacerProcessor.java)
+          * ``*SplitterDProcessor`` — fieldPath/separator/
+            fieldPathsForSplits/tooManySplitsAction/remainingSplitsPath/
+            originalFieldAction (SplitterProcessor.java:95-147)
+          * ``*JsonParserDProcessor`` — fieldPathToParse/parsedFieldPath;
+            Spark needs a declared parse schema where the reference
+            infers per record, so the caller supplies it via
+            ``stage_overrides={instanceName: {"schema": ...}}``
+          * ``*ListPivotDProcessor`` — listPath/newPath/copyFields/
+            saveOriginalFieldName (ListPivotDProcessor.java:55-106)
+          * ``*FieldOrderDProcessor`` — config.fields/missingFieldAction/
+            defaultValue/extraFieldAction (OrderConfigBean.java)
+          * ``*FieldFlattenerDProcessor`` — ENTIRE_RECORD and
+            SPECIFIC_FIELDS (FieldFlattenerConfig.java)
+          * ``*FieldMergerDProcessor`` — ``mergeMapping`` fromField ->
+            toField map-merge (FieldMergerProcessor.java)
+          * ``*FieldZipDProcessor`` — ``fieldZipConfigBean.fieldZipConfigs``
+          * ``*LocalLookupDProcessor`` — ``conf.values`` KV map +
+            ``conf.lookups`` keyExpr/outputFieldPath
+            (kv/local/LocalLookupProcessor.java)
+          * ``*DeDupDProcessor`` — two output lanes (UNIQUE, DUPLICATE);
+            compareFields ALL_FIELDS/SPECIFIED_FIELDS
+            (DeDupProcessor.java:116-154). The record-count/time windows
+            are the reference's bounded-memory cache — the batch engine
+            compares globally (a strictly stronger dedup)
+          * ``Base64Encoding/DecodingDProcessor`` — originFieldPath ->
+            resultFieldPath
           * ``*DSource`` (any origin) — replaced by a parquet origin; the
             caller supplies {instanceName: {"path": ..., "format": ...}}
             via ``origin_overrides`` (sandbox origins read files, not the
@@ -217,23 +299,123 @@ class PipelineSpec:
 
         SDC lane names (``Selector_01OutputLane1``) are kept verbatim, so
         ported previews read like the original pipeline. Fan-in (multiple
-        inputLanes) is not supported here — use the framework combiner.
+        inputLanes) becomes a ``lane_combiner`` stage (unionByName — the
+        runner's CombinerPipe.java semantics).
         """
-        from datacollector_spark.functions.el import el_to_sql, path_to_column
+        from datacollector_spark.functions.el import (
+            ELContext,
+            el_to_sql,
+            path_to_column,
+        )
 
         cfg = pipeline_config.get("pipelineConfig", pipeline_config)
+        info = cfg.get("info", {}) or {}
+        ctx = ELContext(
+            pipeline={
+                "id": str(
+                    cfg.get("pipelineId")
+                    or info.get("pipelineId")
+                    or cfg.get("title", "ported")
+                ),
+                "title": str(cfg.get("title", "ported")),
+                "name": str(info.get("name") or cfg.get("title", "ported")),
+                "version": str(info.get("sdcVersion") or cfg.get("version", 1)),
+            }
+        )
+
+        def el(s: str) -> str:
+            return el_to_sql(s, ctx)
+
+        def cget(conf: dict, *names, default=None):
+            """Exported nested config beans use dotted names
+            (``config.fields``, ``conf.values``) — try each spelling."""
+            for n in names:
+                if n in conf and conf[n] is not None:
+                    return conf[n]
+            return default
+
+        def as_map(value) -> dict:
+            """MAP-type configs export as [{key, value}] lists."""
+            if isinstance(value, dict):
+                return value
+            return {e["key"]: e["value"] for e in (value or [])}
+
+        def coerce_literal(s):
+            """Config replacement values are strings; the reference
+            converts to the field's type at runtime
+            (FieldValueReplacerProcessor convertToType) — here numeric/
+            boolean-looking strings become typed literals so when/
+            otherwise branches keep the column's type."""
+            if not isinstance(s, str):
+                return s
+            t = s.strip()
+            try:
+                return int(t)
+            except ValueError:
+                pass
+            try:
+                return float(t)
+            except ValueError:
+                pass
+            if t.lower() in ("true", "false"):
+                return t.lower() == "true"
+            return s
+
+        def sql_literal(s) -> str:
+            v = coerce_literal(s)
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            from datacollector_spark.functions.el import _sql_str_lit
+
+            return _sql_str_lit(v)
+
+        def chained(name: str, lane_in: str, lane_out: str, cfgs: list[dict]):
+            """Wire N single-column stage configs through synthetic lanes
+            (the in-place per-field processors: hasher, masker, merger,
+            zip, flattener SPECIFIC_FIELDS). An empty config list raises
+            clearly instead of leaving the output lane unproduced."""
+            if not cfgs:
+                raise ValidationError(
+                    f"VALIDATION_0003: {name}: empty processor "
+                    "configuration (no fields configured)"
+                )
+            out = []
+            for i, c in enumerate(cfgs):
+                last = i == len(cfgs) - 1
+                out.append(
+                    {
+                        "name": name if last else f"{name}#{i}",
+                        "in": lane_in,
+                        "out": lane_out if last else f"{name}#lane{i}",
+                        **c,
+                    }
+                )
+                lane_in = out[-1]["out"]
+            return out
+
         origin_overrides = origin_overrides or {}
+        stage_overrides = stage_overrides or {}
         stages: list[dict] = []
         for st in cfg["stages"]:
             name = st["instanceName"]
             klass = st.get("stageName", "")
             conf = {c["name"]: c.get("value") for c in st.get("configuration", [])}
-            ins, outs = st.get("inputLanes", []), st.get("outputLanes", [])
+            ins, outs = list(st.get("inputLanes", [])), st.get("outputLanes", [])
             if len(ins) > 1:
-                raise ValidationError(
-                    f"VALIDATION_0007: {name}: fan-in ports via the framework "
-                    "combiner, not from_sdc_config"
+                # fan-in: CombinerPipe.java — union the input lanes into
+                # one synthetic lane feeding this stage
+                fanin = f"{name}#fanin"
+                stages.append(
+                    {
+                        "name": f"{name}#combiner",
+                        "type": "lane_combiner",
+                        "in_lanes": ins,
+                        "out": fanin,
+                    }
                 )
+                ins = [fanin]
             if "SelectorDProcessor" in klass:
                 preds = conf.get("lanePredicates") or []
                 if not preds or preds[-1].get("predicate") != "default":
@@ -247,7 +429,7 @@ class PipelineSpec:
                         "type": "stream_selector",
                         "in": ins[0],
                         "conditions": [
-                            [p["outputLane"], el_to_sql(p["predicate"])]
+                            [p["outputLane"], el(p["predicate"])]
                             for p in preds[:-1]
                         ],
                         "default_lane": preds[-1]["outputLane"],
@@ -261,7 +443,7 @@ class PipelineSpec:
                         "in": ins[0],
                         "out": outs[0],
                         "expressions": {
-                            path_to_column(e["fieldToSet"]): el_to_sql(e["expression"])
+                            path_to_column(e["fieldToSet"]): el(e["expression"])
                             for e in conf.get("expressionProcessorConfigs", [])
                         },
                     }
@@ -283,69 +465,392 @@ class PipelineSpec:
             elif "FieldTypeConverterDProcessor" in klass:
                 # FieldTypeConverterConfig.java:41-49 {fields, targetType};
                 # SDC Field.Type -> Spark SQL type. Exported configs carry
-                # dozens of defaulted keys we deliberately ignore — but
-                # wholeTypeConverterConfigs CHANGES semantics (convert-all-
-                # of-type mode), so its presence must fail loudly.
-                if conf.get("wholeTypeConverterConfigs"):
-                    raise ValidationError(
-                        f"VALIDATION_0003: {name}: whole-type conversion mode "
-                        "is not ported — list fields explicitly"
-                    )
+                # dozens of defaulted keys we deliberately ignore.
                 type_map = {
                     "BOOLEAN": "boolean", "BYTE": "tinyint", "SHORT": "smallint",
                     "INTEGER": "int", "LONG": "bigint", "FLOAT": "float",
                     "DOUBLE": "double", "DECIMAL": "decimal(38,9)",
                     "STRING": "string", "DATE": "date", "DATETIME": "timestamp",
                 }
-                conversions: dict[str, str] = {}
-                for c in conf.get("fieldTypeConverterConfigs", []):
+
+                def target_of(c: dict) -> str:
                     tt = (c.get("targetType") or "").upper()
                     if tt not in type_map:
                         raise ValidationError(
                             f"VALIDATION_0003: {name}: unsupported targetType {tt!r}"
                         )
-                    target = type_map[tt]
                     if tt == "DATETIME" and c.get("otherDateFormat"):
-                        target = f"timestamp:{c['otherDateFormat']}"
-                    for fld in c.get("fields", []):
-                        conversions[path_to_column(fld)] = target
-                stages.append(
-                    {
-                        "name": name,
-                        "type": "field_type_converter",
-                        "in": ins[0],
-                        "out": outs[0],
-                        "conversions": conversions,
-                    }
-                )
+                        return f"timestamp:{c['otherDateFormat']}"
+                    return type_map[tt]
+
+                whole = conf.get("wholeTypeConverterConfigs") or []
+                if whole or (conf.get("convertBy") or "").upper() == "BY_TYPE":
+                    # BY_TYPE mode: convert every field whose CURRENT type
+                    # matches (FieldTypeConverterProcessor.java:60-102) —
+                    # a schema walk here, sourceType in SDC Field.Type
+                    # names mapped onto Spark simpleStrings
+                    src_map = dict(type_map, DECIMAL="decimal")
+                    by_type: dict[str, str] = {}
+                    for c in whole:
+                        src = (c.get("sourceType") or "").upper()
+                        if src not in src_map:
+                            raise ValidationError(
+                                f"VALIDATION_0003: {name}: unsupported "
+                                f"sourceType {src!r}"
+                            )
+                        by_type[src_map[src]] = target_of(c)
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "field_type_converter_by_type",
+                            "in": ins[0],
+                            "out": outs[0],
+                            "conversions": by_type,
+                        }
+                    )
+                else:
+                    conversions: dict[str, str] = {}
+                    for c in conf.get("fieldTypeConverterConfigs", []):
+                        target = target_of(c)
+                        for fld in c.get("fields", []):
+                            conversions[path_to_column(fld)] = target
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "field_type_converter",
+                            "in": ins[0],
+                            "out": outs[0],
+                            "conversions": conversions,
+                        }
+                    )
             elif "FieldHasherDProcessor" in klass:
                 # FieldHasherConfig.java:38-49: each source field is hashed
                 # IN PLACE — one field_hasher stage per field, chained on
-                # synthetic lanes
+                # synthetic lanes; empty configs raise (chained())
                 algo_map = {"MD5": "md5", "SHA1": "sha1", "SHA2": "sha256"}
-                hash_cfgs = conf.get("fieldHasherConfigs", [])
-                lane_in = ins[0]
-                flat: list[tuple[str, str]] = [
-                    (fld, algo_map.get((hc.get("hashType") or "SHA2").upper(), "sha256"))
-                    for hc in hash_cfgs
-                    for fld in hc.get("sourceFieldsToHash", [])
+                stages.extend(
+                    chained(
+                        name,
+                        ins[0],
+                        outs[0],
+                        [
+                            {
+                                "type": "field_hasher",
+                                "columns": [path_to_column(fld)],
+                                "target": path_to_column(fld),
+                                "algo": algo_map.get(
+                                    (hc.get("hashType") or "SHA2").upper(), "sha256"
+                                ),
+                            }
+                            for hc in conf.get("fieldHasherConfigs", [])
+                            for fld in hc.get("sourceFieldsToHash", [])
+                        ],
+                    )
+                )
+            elif "FieldMaskDProcessor" in klass:
+                # FieldMaskConfig.java:28-88 — one masker stage per config
+                # entry (each entry may cover several fields with one mask)
+                def mask_stage(mc: dict) -> dict:
+                    mt = (mc.get("maskType") or "VARIABLE_LENGTH").upper()
+                    stage = {
+                        "type": "field_masker",
+                        "columns": [path_to_column(f) for f in mc.get("fields", [])],
+                        "mask_type": mt,
+                    }
+                    if mt == "CUSTOM":
+                        stage["custom_mask"] = mc.get("mask") or ""
+                    if mt == "REGEX":
+                        stage["regex"] = mc.get("regex") or ""
+                        groups = str(mc.get("groupsToShow") or "").strip()
+                        shown = sorted(
+                            int(g) for g in groups.split(",") if g.strip()
+                        )
+                        # the engine's REGEX mode reveals the first N
+                        # groups; a non-prefix selection ("2,4") would
+                        # change semantics silently — refuse it instead
+                        if shown != list(range(1, len(shown) + 1)):
+                            raise ValidationError(
+                                f"VALIDATION_0003: {name}: groupsToShow "
+                                f"{groups!r} must be the prefix 1..N"
+                            )
+                        stage["groups_to_show"] = len(shown)
+                    return stage
+
+                stages.extend(
+                    chained(
+                        name,
+                        ins[0],
+                        outs[0],
+                        [mask_stage(mc) for mc in conf.get("fieldMaskConfigs", [])],
+                    )
+                )
+            elif "FieldValueReplacerDProcessor" in klass:
+                # FieldValueReplacerProcessor.java order: conditional
+                # null-out, then null backfill, then conditional replace
+                op_map = {
+                    "EQUALS": "=", "NOT_EQUALS": "!=", "LESS_THAN": "<",
+                    "LESS_THAN_EQUALS": "<=", "GREATER_THAN": ">",
+                    "GREATER_THAN_EQUALS": ">=",
+                }
+                null_when = [
+                    [path_to_column(f), el(c["condition"])]
+                    for c in conf.get("nullReplacerConditionalConfigs") or []
+                    for f in c.get("fieldsToNull", [])
                 ]
-                for i, (fld, algo) in enumerate(flat):
-                    last = i == len(flat) - 1
-                    lane_out = outs[0] if last else f"{name}#lane{i}"
-                    col = path_to_column(fld)
+                null_defaults = {
+                    path_to_column(f): coerce_literal(c.get("newValue"))
+                    for c in conf.get("fieldsToReplaceIfNull") or []
+                    for f in c.get("fields", [])
+                }
+                conditional = []
+                for c in conf.get("fieldsToConditionallyReplace") or []:
+                    op = (c.get("operator") or "EQUALS").upper()
+                    if op not in op_map:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: unsupported operator {op!r}"
+                        )
+                    for f in c.get("fieldNames", []):
+                        col = path_to_column(f)
+                        conditional.append(
+                            [
+                                col,
+                                f"{col} {op_map[op]} "
+                                f"{sql_literal(c.get('comparisonValue'))}",
+                                coerce_literal(c.get("replacementValue")),
+                            ]
+                        )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "value_replacer",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "null_when": null_when,
+                        "null_defaults": null_defaults,
+                        "conditional": conditional,
+                    }
+                )
+            elif "SplitterDProcessor" in klass:
+                too_many = {
+                    "TO_LAST_FIELD": "to_last_field",
+                    "TO_LIST": "to_list",
+                }.get((conf.get("tooManySplitsAction") or "TO_LAST_FIELD").upper())
+                if too_many is None:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: unsupported "
+                        f"tooManySplitsAction {conf.get('tooManySplitsAction')!r}"
+                    )
+                stage = {
+                    "name": name,
+                    "type": "field_splitter",
+                    "in": ins[0],
+                    "out": outs[0],
+                    "column": path_to_column(conf["fieldPath"]),
+                    "separator": conf["separator"],
+                    "to": [path_to_column(p) for p in conf["fieldPathsForSplits"]],
+                    "too_many": too_many,
+                    "keep_original": (
+                        (conf.get("originalFieldAction") or "REMOVE").upper()
+                        == "KEEP"
+                    ),
+                }
+                if too_many == "to_list":
+                    stage["remaining_to"] = path_to_column(
+                        conf.get("remainingSplitsPath") or "/remainingSplits"
+                    )
+                stages.append(stage)
+            elif "JsonParserDProcessor" in klass:
+                ov = stage_overrides.get(name) or {}
+                if "schema" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0009: {name}: the JSON parser needs a "
+                        "declared parse schema — pass stage_overrides="
+                        f"{{{name!r}: {{'schema': ...}}}} (Spark parses "
+                        "with a schema; the reference infers per record)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "json_parser",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "column": path_to_column(conf["fieldPathToParse"]),
+                        "into": path_to_column(conf["parsedFieldPath"]),
+                        "schema": ov["schema"],
+                    }
+                )
+            elif "ListPivotDProcessor" in klass:
+                stage = {
+                    "name": name,
+                    "type": "list_pivot",
+                    "in": ins[0],
+                    "out": outs[0],
+                    "column": path_to_column(conf["listPath"]),
+                    "copy_fields": bool(conf.get("copyFields", True)),
+                }
+                if conf.get("newPath"):
+                    stage["into"] = path_to_column(conf["newPath"])
+                if conf.get("saveOriginalFieldName") and conf.get(
+                    "originalFieldNamePath"
+                ):
+                    stage["original_name_to"] = path_to_column(
+                        conf["originalFieldNamePath"]
+                    )
+                stages.append(stage)
+            elif "FieldOrderDProcessor" in klass:
+                order = [
+                    path_to_column(f)
+                    for f in cget(conf, "config.fields", "fields", default=[])
+                ]
+                missing = (
+                    cget(conf, "config.missingFieldAction", "missingFieldAction")
+                    or "TO_ERROR"
+                ).upper()
+                extra = (
+                    cget(conf, "config.extraFieldAction", "extraFieldAction")
+                    or "TO_ERROR"
+                ).upper()
+                stage = {
+                    "name": name,
+                    "type": "field_order",
+                    "in": ins[0],
+                    "out": outs[0],
+                    "order": order,
+                    "extra": "drop" if extra == "DISCARD" else "error",
+                }
+                if missing == "USE_DEFAULT":
+                    dv = coerce_literal(
+                        cget(conf, "config.defaultValue", "defaultValue")
+                    )
+                    stage["defaults"] = {c: dv for c in order}
+                stages.append(stage)
+            elif "FieldFlattenerDProcessor" in klass:
+                ftype = (
+                    cget(conf, "config.flattenType", "flattenType")
+                    or "ENTIRE_RECORD"
+                ).upper()
+                sep = cget(conf, "config.nameSeparator", "nameSeparator") or "_"
+                if ftype == "ENTIRE_RECORD":
                     stages.append(
                         {
-                            "name": f"{name}#{i}" if not last else name,
-                            "type": "field_hasher",
-                            "in": lane_in,
-                            "out": lane_out,
-                            "columns": [col],
-                            "target": col,
-                            "algo": algo,
+                            "name": name,
+                            "type": "field_flattener_entire",
+                            "in": ins[0],
+                            "out": outs[0],
+                            "separator": sep,
                         }
                     )
-                    lane_in = lane_out
+                else:
+                    stages.extend(
+                        chained(
+                            name,
+                            ins[0],
+                            outs[0],
+                            [
+                                {
+                                    "type": "field_flattener",
+                                    "column": path_to_column(f),
+                                    "separator": sep,
+                                    "recursive": True,
+                                }
+                                for f in cget(
+                                    conf, "config.fields", "fields", default=[]
+                                )
+                            ],
+                        )
+                    )
+            elif "FieldMergerDProcessor" in klass:
+                overwrite = bool(conf.get("overwriteExisting"))
+                stages.extend(
+                    chained(
+                        name,
+                        ins[0],
+                        outs[0],
+                        [
+                            {
+                                "type": "field_struct_merge",
+                                "from_col": path_to_column(m["fromField"]),
+                                "to_col": path_to_column(m["toField"]),
+                                "overwrite": overwrite,
+                            }
+                            for m in conf.get("mergeMapping", [])
+                        ],
+                    )
+                )
+            elif "FieldZipDProcessor" in klass:
+                stages.extend(
+                    chained(
+                        name,
+                        ins[0],
+                        outs[0],
+                        [
+                            {
+                                "type": "field_zip",
+                                "into": path_to_column(z["zippedFieldPath"]),
+                                "left": path_to_column(z["firstField"]),
+                                "right": path_to_column(z["secondField"]),
+                            }
+                            for z in cget(
+                                conf,
+                                "fieldZipConfigBean.fieldZipConfigs",
+                                "fieldZipConfigs",
+                                default=[],
+                            )
+                        ],
+                    )
+                )
+            elif "LocalLookupDProcessor" in klass:
+                values = as_map(cget(conf, "conf.values", "values", default={}))
+                lookups = cget(conf, "conf.lookups", "lookups", default=[])
+                stages.extend(
+                    chained(
+                        name,
+                        ins[0],
+                        outs[0],
+                        [
+                            {
+                                "type": "static_lookup",
+                                "mapping": values,
+                                "key_column": el(lk["keyExpr"]),
+                                "value_column": path_to_column(
+                                    lk["outputFieldPath"]
+                                ),
+                            }
+                            for lk in lookups
+                        ],
+                    )
+                )
+            elif "DeDupDProcessor" in klass:
+                compare = (conf.get("compareFields") or "ALL_FIELDS").upper()
+                cols = (
+                    [path_to_column(f) for f in conf.get("fieldsToCompare", [])]
+                    if compare == "SPECIFIED_FIELDS"
+                    else None
+                )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "record_dedup",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "dup_lane": outs[1] if len(outs) > 1 else f"{name}#dup",
+                        "columns": cols,
+                    }
+                )
+            elif "Base64EncodingDProcessor" in klass or (
+                "Base64DecodingDProcessor" in klass
+            ):
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "base64_codec",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "column": path_to_column(conf["originFieldPath"]),
+                        "into": path_to_column(conf["resultFieldPath"]),
+                        "decode": "Decoding" in klass,
+                    }
+                )
             elif "FieldRemoverDProcessor" in klass:
                 cols = [path_to_column(p) for p in conf.get("fields", [])]
                 op = (conf.get("filterOperation") or "REMOVE").upper()
