@@ -748,11 +748,15 @@ def el_dir_template(template: str, time_col: str = "ts") -> Column:
         elif ev and ev.group(2) in _TMPL_TIME_FMT:
             # ${every(N, mm())}: the directory rolls every N units — the
             # unit value floored to a multiple of N (the reference's
-            # ExtraTimeEL marker, resolved by its path template engine)
+            # ExtraTimeEL marker, resolved by its path template engine).
+            # The reference's every() accepts hh/mm/ss only
+            # (PathTemplateEL); wider units keep their natural width
+            # instead of a wrong 2-char pad.
             n = int(ev.group(1))
-            unit = F.date_format(F.col(time_col), _TMPL_TIME_FMT[ev.group(2)])
+            fmt = _TMPL_TIME_FMT[ev.group(2)]
+            unit = F.date_format(F.col(time_col), fmt)
             floored = ((unit.cast("int") / n).cast("int") * n).cast("string")
-            cols.append(F.lpad(floored, 2, "0"))
+            cols.append(F.lpad(floored, len(fmt), "0"))
         else:
             cols.append(F.expr(el_to_sql("${" + token + "}")).cast("string"))
         last = m.end()

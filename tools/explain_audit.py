@@ -274,6 +274,41 @@ def main() -> None:
         )
     )
 
+    # 11e) 10-stage ported config (round 5): the whole chained processor
+    # pipeline — json parse, flatten, mask, replace, expression, split,
+    # KV lookup, whole-type convert — must fuse into ONE projection pass
+    # over the scan: no exchange, no Python, column pruning intact. At
+    # 100 TB a ported 10-stage pipeline then costs exactly one read.
+    p = plan_of(qs["el_ported_config_2"](spark, sf_dir))
+    checks.append(
+        (
+            "ported 10-stage pipeline fuses into one scan pass (el_ported_config_2)",
+            p,
+            [
+                ("no exchange (all stages fuse)", "Exchange" not in p),
+                ("no python eval", "Python" not in p),
+                # formatted plans star codegen nodes; the json-parse
+                # projection stays interpreted (JsonToStructs), the rest
+                # of the chain runs inside codegen
+                ("codegen projections present", "* Project" in p),
+            ],
+        )
+    )
+
+    # 11f) ported dedup+fanin: the two-lane split + union must stay a
+    # hash-aggregate shape (map-side combined), no sort, no python
+    p = plan_of(qs["sdc_ported_dedup_fanin"](spark, sf_dir))
+    checks.append(
+        (
+            "ported record-dedup lanes (sdc_ported_dedup_fanin)",
+            p,
+            [
+                ("hash aggregate winner", "HashAggregate" in p),
+                ("no python eval", "Python" not in p),
+            ],
+        )
+    )
+
     # 11) SPLIT lookup: broadcast join, never sort-merge
     p = plan_of(qs["lookup_split_multiplicity"](spark, sf_dir))
     checks.append(
