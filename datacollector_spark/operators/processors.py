@@ -474,6 +474,14 @@ def json_parser(df: DataFrame, column: str, schema: T.StructType | str, into: st
     return df.withColumn(into, F.from_json(F.col(column), schema))
 
 
+def xml_parser(df: DataFrame, column: str, schema: T.StructType | str, into: str) -> DataFrame:
+    """Parse an XML string field — xmlparser/XmlParserProcessor.java
+    (schema-declared, like json_parser; Spark's from_xml)."""
+    from datacollector_spark.sources.formats import parse_xml
+
+    return df.withColumn(into, parse_xml(F.col(column), schema))
+
+
 def log_parser(df: DataFrame, column: str, pattern: str, groups: dict[str, int]) -> DataFrame:
     """Regex log parse into fields — logparser/LogParserProcessor.java
     (grok/apache formats reduce to a regex with named groups)."""

@@ -63,6 +63,7 @@ _PROCESSORS: dict[str, tuple[Any, list[str]]] = {
     "value_replacer": (P.value_replacer, []),
     "expression_evaluator": (P.expression_evaluator, ["expressions"]),
     "json_parser": (P.json_parser, ["column", "schema", "into"]),
+    "xml_parser": (P.xml_parser, ["column", "schema", "into"]),
     "log_parser": (P.log_parser, ["column", "pattern", "groups"]),
     "base64_codec": (P.base64_codec, ["column", "into"]),
     "static_lookup": (P.static_lookup, ["mapping", "key_column", "value_column"]),
@@ -125,6 +126,22 @@ class PipelineSpec:
                 # OutputStreams UNIQUE/DUPLICATE ordinals)
                 producers[st.get("out", "unique")] = name
                 producers[st.get("dup_lane", "duplicates")] = name
+            elif typ == "jdbc_lookup":
+                # dimension join: external DB -> local dim extract
+                # (jdbc-lib/.../jdbclookup/JdbcLookupDProcessor.java)
+                for key in ("dim_path", "on"):
+                    if key not in st:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: jdbc_lookup needs {key!r}"
+                        )
+                producers[st.get("out", st.get("in", "main"))] = name
+            elif typ == "http_client":
+                if "resource_url" not in st or "into" not in st:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: http_client needs "
+                        "'resource_url' and 'into'"
+                    )
+                producers[st.get("out", st.get("in", "main"))] = name
             elif typ == "lane_combiner":
                 # fan-in: all consumed lanes must already exist
                 # (runner/CombinerPipe.java — union of the input lanes)
@@ -214,6 +231,32 @@ class PipelineSpec:
                 )
                 _place(st.get("out", "unique"), unique)
                 _place(st.get("dup_lane", "duplicates"), dup)
+            elif typ == "jdbc_lookup":
+                dim = spark.read.parquet(st["dim_path"])
+                for a, b in (st.get("renames") or {}).items():
+                    dim = dim.withColumnRenamed(a, b)
+                _place(
+                    st.get("out", st["in"]),
+                    P.broadcast_lookup(
+                        lanes[st["in"]],
+                        dim,
+                        on=st["on"],
+                        multiple=st.get("multiple", "FIRST_ONLY"),
+                    ),
+                )
+            elif typ == "http_client":
+                from datacollector_spark.functions.el import el_dir_template
+
+                url = el_dir_template(
+                    st["resource_url"], st.get("time_col", "ts")
+                )
+                enriched = P.http_client_processor(
+                    lanes[st["in"]].withColumn("__http_url", url),
+                    "__http_url",
+                    response_column=st["into"],
+                    transport=st.get("transport"),
+                ).drop("__http_url")
+                _place(st.get("out", st["in"]), enriched)
             elif typ == "lane_combiner":
                 combined = lanes[st["in_lanes"][0]]
                 for lane_in in st["in_lanes"][1:]:
@@ -289,6 +332,17 @@ class PipelineSpec:
             (DeDupProcessor.java:116-154). The record-count/time windows
             are the reference's bounded-memory cache — the batch engine
             compares globally (a strictly stronger dedup)
+          * ``*JdbcLookupDProcessor`` — broadcast join against a local
+            dimension extract supplied via ``stage_overrides``
+            ({path, on}); columnMappings rename dim columns
+          * ``*HttpDProcessor`` — resourceUrl EL template resolved per
+            record; injectable transport via ``stage_overrides``
+          * ``*XmlParserDProcessor`` — declared schema via
+            ``stage_overrides`` (like the JSON parser)
+          * ``*LogParserDProcessor`` — REGEX mode
+            (regex + ``fieldPathsToGroupName``) and COMMON_LOG_FORMAT
+            (stock Apache CLF regex); grok/log4j custom formats refuse
+            by name
           * ``Base64Encoding/DecodingDProcessor`` — originFieldPath ->
             resultFieldPath
           * ``*DSource`` (any origin) — replaced by a parquet origin; the
@@ -835,6 +889,125 @@ class PipelineSpec:
                         "out": outs[0],
                         "dup_lane": outs[1] if len(outs) > 1 else f"{name}#dup",
                         "columns": cols,
+                    }
+                )
+            elif "JdbcLookupDProcessor" in klass:
+                # jdbc-lib/.../jdbclookup: the lookup queries an EXTERNAL
+                # database per record; the scale-correct Spark form is a
+                # broadcast join against a local extract of the dimension
+                # (same pattern as origin_overrides: the caller supplies
+                # {path, on}). columnMappings rename dim columns onto the
+                # record's field paths.
+                ov = stage_overrides.get(name) or {}
+                if "path" not in ov or "on" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0009: {name}: JDBC lookup needs a "
+                        "stage_overrides entry with the dimension extract "
+                        f"{{'path': parquet, 'on': [join cols]}} (the query "
+                        "runs against an external DB the sandbox lacks)"
+                    )
+                renames = {
+                    m["columnName"]: path_to_column(m["field"])
+                    for m in conf.get("columnMappings", [])
+                }
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "jdbc_lookup",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "dim_path": ov["path"],
+                        "on": ov["on"],
+                        "renames": renames,
+                        "multiple": (
+                            conf.get("multipleValuesBehavior") or "FIRST_ONLY"
+                        ).upper().replace("SPLIT_INTO_MULTIPLE_RECORDS", "SPLIT"),
+                    }
+                )
+            elif "HttpDProcessor" in klass:
+                # basic-lib/.../processor/http/HttpProcessorConfig.java:
+                # resourceUrl is an EL TEMPLATE (literal text + ${...}
+                # tokens) resolved per record; outputField receives the
+                # response. The transport is injectable (no network here) —
+                # supplied via stage_overrides, like the engine operator.
+                ov = stage_overrides.get(name) or {}
+                url = cget(conf, "conf.resourceUrl", "resourceUrl")
+                out_field = cget(conf, "conf.outputField", "outputField")
+                if not url or not out_field:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: HTTP processor needs "
+                        "conf.resourceUrl and conf.outputField"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "http_client",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "resource_url": url,
+                        "into": path_to_column(out_field),
+                        "transport": ov.get("transport"),
+                        "time_col": ov.get("time_col", "ts"),
+                    }
+                )
+            elif "XmlParserDProcessor" in klass:
+                ov = stage_overrides.get(name) or {}
+                if "schema" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0009: {name}: the XML parser needs a "
+                        "declared parse schema — pass stage_overrides="
+                        f"{{{name!r}: {{'schema': ...}}}} (Spark parses "
+                        "with a schema; the reference infers per record)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "xml_parser",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "column": path_to_column(
+                            cget(conf, "configs.fieldPathToParse", "fieldPathToParse")
+                        ),
+                        "into": path_to_column(
+                            cget(conf, "configs.parsedFieldPath", "parsedFieldPath")
+                        ),
+                        "schema": ov["schema"],
+                    }
+                )
+            elif "LogParserDProcessor" in klass:
+                # LogParserDProcessor.java:58-135 — REGEX mode (regex +
+                # fieldPathsToGroupName) and COMMON_LOG_FORMAT (the stock
+                # Apache CLF regex, sources/formats.py) port; grok/log4j
+                # custom formats are jar-side parser configs -> refuse by
+                # name rather than mis-parse
+                mode = (conf.get("logMode") or "COMMON_LOG_FORMAT").upper()
+                if mode == "REGEX":
+                    pattern = conf.get("regex") or ""
+                    groups = {
+                        path_to_column(g["fieldPath"]): int(g.get("group", 1))
+                        for g in conf.get("fieldPathsToGroupName", [])
+                    }
+                elif mode == "COMMON_LOG_FORMAT":
+                    from datacollector_spark.sources.formats import (
+                        APACHE_COMMON_GROUPS,
+                        APACHE_COMMON_LOG,
+                    )
+
+                    pattern, groups = APACHE_COMMON_LOG, dict(APACHE_COMMON_GROUPS)
+                else:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: logMode {mode!r} is not "
+                        "ported (REGEX and COMMON_LOG_FORMAT are)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "log_parser",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "column": path_to_column(conf["fieldPathToParse"]),
+                        "pattern": pattern,
+                        "groups": groups,
                     }
                 )
             elif "Base64EncodingDProcessor" in klass or (

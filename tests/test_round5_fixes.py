@@ -597,6 +597,110 @@ def test_port_pipeline_metadata_el(spark, tmp_path):
     assert row["pid"] == "meta-1"
 
 
+def test_port_log_parser_regex_and_clf(spark, tmp_path):
+    out = _one_stage_port(
+        spark, tmp_path,
+        "x_logparser_LogParserDProcessor",
+        {
+            "fieldPathToParse": "/line",
+            "parsedFieldPath": "/parsed",
+            "logMode": "REGEX",
+            "regex": r"(\w+)=(\d+)",
+            "fieldPathsToGroupName": [
+                {"fieldPath": "/key", "group": 1},
+                {"fieldPath": "/num", "group": 2},
+            ],
+        },
+        [("count=42",)],
+        "line string",
+    )
+    row = out.first()
+    assert (row["key"], row["num"]) == ("count", "42")
+
+    out2 = _one_stage_port(
+        spark, tmp_path,
+        "x_logparser_LogParserDProcessor",
+        {
+            "fieldPathToParse": "/line",
+            "parsedFieldPath": "/parsed",
+            "logMode": "COMMON_LOG_FORMAT",
+        },
+        [('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+          '"GET /apache_pb.gif HTTP/1.0" 200 2326',)],
+        "line string",
+    )
+    row = out2.first()
+    assert (row["client_ip"], row["method"], row["status"]) == (
+        "127.0.0.1", "GET", "200",
+    )
+    with pytest.raises(ValidationError, match="logMode 'GROK'"):
+        _one_stage_port(
+            spark, tmp_path,
+            "x_logparser_LogParserDProcessor",
+            {"fieldPathToParse": "/line", "logMode": "GROK"},
+            [("x",)],
+            "line string",
+        )
+
+
+def test_port_jdbc_lookup_http_xml(spark, tmp_path):
+    """The last three config-portable classes: JDBC lookup (broadcast join
+    against a local dimension extract), HTTP client (resourceUrl EL
+    template + injectable transport), XML parser (declared schema)."""
+    # the dimension extract carries the join key under the fact's name
+    dim_path2 = str(tmp_path / "dim2.parquet")
+    spark.createDataFrame(
+        [(1, "North"), (2, "South")], "rid long, region_name string"
+    ).write.parquet(dim_path2)
+    out = _one_stage_port(
+        spark, tmp_path,
+        "x_jdbclookup_JdbcLookupDProcessor",
+        {
+            "query": "SELECT region_name FROM regions WHERE region_id = "
+            "${record:value('/rid')}",
+            "columnMappings": [
+                {"columnName": "region_name", "field": "/region"}
+            ],
+        },
+        [(10, 1), (11, 2), (12, 9)],
+        "id long, rid long",
+        stage_overrides={"P": {"path": dim_path2, "on": ["rid"]}},
+    )
+    rows = {r["id"]: r["region"] for r in out.collect()}
+    assert rows == {10: "North", 11: "South", 12: None}
+
+    def fake_transport(urls):
+        return [f"resp:{u}" for u in urls]
+
+    out2 = _one_stage_port(
+        spark, tmp_path,
+        "x_http_HttpDProcessor",
+        {
+            "conf.resourceUrl": "http://api/v1/${record:value('/id')}",
+            "conf.outputField": "/body",
+        },
+        [(7,), (8,)],
+        "id long",
+        stage_overrides={"P": {"transport": fake_transport}},
+    )
+    rows = {r["id"]: r["body"] for r in out2.collect()}
+    assert rows == {7: "resp:http://api/v1/7", 8: "resp:http://api/v1/8"}
+    assert "__http_url" not in out2.columns
+
+    out3 = _one_stage_port(
+        spark, tmp_path,
+        "x_xmlparser_XmlParserDProcessor",
+        {
+            "configs.fieldPathToParse": "/raw",
+            "configs.parsedFieldPath": "/doc",
+        },
+        [("<r><a>5</a></r>",)],
+        "raw string",
+        stage_overrides={"P": {"schema": "a bigint"}},
+    )
+    assert out3.first()["doc"]["a"] == 5
+
+
 # ------------------------------------- event-time assembler vs session_window
 def test_event_time_assembler_matches_session_window_oracle(spark, tmp_path):
     """Backfill sessionization claim, proven small-scale: replaying turns
