@@ -199,6 +199,10 @@ def field_type_converter_by_type(
             return any(changes(f.dataType) for f in dtype.fields)
         if isinstance(dtype, T.ArrayType):
             return changes(dtype.elementType)
+        if isinstance(dtype, T.MapType):
+            # the reference's record walk treats MAP entries like fields
+            # (values convert; keys stay keys)
+            return changes(dtype.valueType)
         return match(dtype) is not None
 
     def walk(col: Column, dtype: T.DataType) -> Column:
@@ -215,6 +219,8 @@ def field_type_converter_by_type(
             )
         if isinstance(dtype, T.ArrayType):
             return F.transform(col, lambda x: walk(x, dtype.elementType))
+        if isinstance(dtype, T.MapType):
+            return F.transform_values(col, lambda k, v: walk(v, dtype.valueType))
         target = match(dtype)
         if isinstance(target, str) and target.startswith("timestamp:"):
             return F.to_timestamp(col, target.split(":", 1)[1])

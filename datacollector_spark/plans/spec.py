@@ -470,6 +470,29 @@ class PipelineSpec:
                     }
                 )
                 ins = [fanin]
+            # per-stage preconditions + required fields (every exported
+            # stage carries stageRequiredFields/stageRecordPreconditions;
+            # the reference evaluates them BEFORE the stage and routes
+            # failures to the error sink — PreconditionsPredicate.java /
+            # RequiredFieldsPredicate.java). Ignoring a non-empty one
+            # would silently drop a filter the pipeline depends on.
+            req = conf.get("stageRequiredFields") or []
+            precon = conf.get("stageRecordPreconditions") or []
+            if (req or precon) and ins:
+                pre_lane = f"{name}#pre"
+                stages.append(
+                    {
+                        "name": f"{name}#preconditions",
+                        "type": "precondition_filter",
+                        "in": ins[0],
+                        "out": pre_lane,
+                        "error_lane": f"{name}#errors",
+                        "condition": " AND ".join(f"({el(p)})" for p in precon),
+                        "required_fields": [path_to_column(f) for f in req],
+                        "stage_name": name,
+                    }
+                )
+                ins = [pre_lane]
             if "SelectorDProcessor" in klass:
                 preds = conf.get("lanePredicates") or []
                 if not preds or preds[-1].get("predicate") != "default":

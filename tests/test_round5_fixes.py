@@ -701,6 +701,65 @@ def test_port_jdbc_lookup_http_xml(spark, tmp_path):
     assert out3.first()["doc"]["a"] == 5
 
 
+def test_port_stage_preconditions_and_required_fields(spark, tmp_path):
+    """Per-stage stageRecordPreconditions/stageRequiredFields (every
+    exported stage carries them) now port as a precondition_filter BEFORE
+    the stage, with the error lane carrying the reference's error-record
+    header (PreconditionsPredicate.java / RequiredFieldsPredicate.java).
+    Silently dropping a non-empty one would lose a filter the pipeline
+    depends on."""
+    path = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (3, "c", 500.0)],
+        "id long, name string, v double",
+    ).write.parquet(path)
+    config = {
+        "pipelineConfig": {
+            "title": "pre",
+            "stages": [
+                _stage("O", "x_DSource", {}, [], ["l0"]),
+                _stage(
+                    "E",
+                    "x_expression_ExpressionDProcessor",
+                    {
+                        "expressionProcessorConfigs": [
+                            {"fieldToSet": "/v2", "expression": "${record:value('/v') * 2}"}
+                        ],
+                        "stageRequiredFields": ["/name"],
+                        "stageRecordPreconditions": [
+                            "${record:value('/v') < 100}"
+                        ],
+                    },
+                    ["l0"],
+                    ["l1"],
+                ),
+            ],
+        }
+    }
+    spec = PipelineSpec.from_sdc_config(
+        config, origin_overrides={"O": {"path": path}}
+    )
+    lanes = spec.build(spark)
+    # only row 1 passes (row 2 fails required field, row 3 the precondition)
+    ok = lanes["l1"].collect()
+    assert [r["id"] for r in ok] == [1] and ok[0]["v2"] == 10.0
+    errs = {r["id"]: r["_error_stage"] for r in lanes["E#errors"].collect()}
+    assert errs == {2: "E", 3: "E"}
+
+
+def test_whole_type_converter_map_values(spark):
+    from datacollector_spark.operators.processors import (
+        field_type_converter_by_type,
+    )
+
+    df = spark.createDataFrame(
+        [({"a": "2024-01-02"},)], "m map<string, string>"
+    ).selectExpr("transform_values(m, (k, v) -> cast(v AS DATE)) AS m")
+    out = field_type_converter_by_type(df, {"date": "string"})
+    assert dict(out.dtypes)["m"] == "map<string,string>"
+    assert out.first()["m"] == {"a": "2024-01-02"}
+
+
 # ------------------------------------- event-time assembler vs session_window
 def test_event_time_assembler_matches_session_window_oracle(spark, tmp_path):
     """Backfill sessionization claim, proven small-scale: replaying turns
