@@ -1206,6 +1206,60 @@ def q_sdc_ported_dedup_fanin(spark, sf_dir):
     return spec.build(spark)["Target_01"]
 
 
+def q_origin_http_paginated(spark, sf_dir):
+    """HTTP Client origin over LIVE loopback HTTP — a local server exposes
+    the first 200 events (ordered by event_id) as a ${startAt}-parameterised
+    JSON API paged 50 at a time; the origin polls it BY_OFFSET with the
+    default urllib transport (no fakes) and the page bodies are parsed and
+    exploded distributed. Reference: basic-lib/.../origin/http/
+    HttpClientSource.java (pagination: PaginationMode.java, offset
+    arithmetic HttpClientSource.java:660-671)."""
+    import json as _json
+    import re as _re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pyarrow.parquet as _pq
+
+    from datacollector_spark.sources.http import http_client_origin_batch
+
+    tbl = _pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["event_id"])[:200]
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            s = int(_re.search(r"startAt=(\d+)", self.path).group(1))
+            body = _json.dumps(rows[s : s + 50]).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        df, _off = http_client_origin_batch(
+            spark,
+            f"http://127.0.0.1:{port}/api?startAt=${{startAt}}",
+            "event_id long, event_type string, value double",
+            pagination_mode="BY_OFFSET",
+        )
+    finally:
+        # page bodies are already captured as parallelized literals — the
+        # DataFrame never re-fetches, so the server can go away now
+        httpd.shutdown()
+        httpd.server_close()
+        t.join(timeout=5)
+    return df.select("page", "pos_in_page", "event_id", "event_type", "value")
+
+
 def q_proc_error_lane_headers(spark, sf_dir):
     """The error lane's record header as metadata columns — the columnar
     form of the reference's error-record header (RecordEL.java:245-292):
@@ -1403,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_ported_config": q_el_ported_config,
         "el_ported_config_2": q_el_ported_config_2,
         "sdc_ported_dedup_fanin": q_sdc_ported_dedup_fanin,
+        "origin_http_paginated": q_origin_http_paginated,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
         "corpus_hash_split": q_corpus_hash_split,
@@ -1787,6 +1842,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sdc_ported_dedup_fanin": """
             SELECT * FROM events
+        """,
+        "origin_http_paginated": """
+            WITH first200 AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (ORDER BY event_id) - 1 AS rn
+                FROM events
+                ORDER BY event_id
+                LIMIT 200
+            )
+            SELECT CAST(rn // 50 AS INT) AS page,
+                   CAST(rn % 50 AS INT) AS pos_in_page,
+                   event_id, event_type, value
+            FROM first200
         """,
         "proc_error_lane_headers": """
             SELECT event_id,
