@@ -1260,6 +1260,49 @@ def q_origin_http_paginated(spark, sf_dir):
     return df.select("page", "pos_in_page", "event_id", "event_type", "value")
 
 
+def q_format_avro_ocf(spark, sf_dir):
+    """AVRO data format end to end WITHOUT the spark-avro jar: events are
+    written to Avro Object Container Files by the pure-Python spec codec
+    (sources/avro_py.py — magic, metadata map, deflate blocks, sync markers)
+    and read back DISTRIBUTED (binaryFile scan → mapInPandas decode, one
+    task per file). Reference surface: commonlib/.../lib/parser/avro/
+    AvroDataFileParser.java; the codec itself is pinned byte-for-byte to
+    the public Avro spec's worked examples in tests/test_avro_py.py."""
+    import json as _json
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from datacollector_spark.sources.avro_py import read_avro_files, write_ocf
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+                {"name": "event_type", "type": ["null", "string"]},
+                {"name": "value", "type": "double"},
+            ],
+        }
+    )
+    rows = _pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    ).to_pylist()
+    out_dir = tempfile.mkdtemp(prefix="avro_ocf_")
+    n_files = 4
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        write_ocf(
+            f"{out_dir}/part-{i}.avro", schema, rows[i * per : (i + 1) * per],
+            codec="deflate",
+        )
+    return read_avro_files(spark, out_dir, schema).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
 def q_proc_error_lane_headers(spark, sf_dir):
     """The error lane's record header as metadata columns — the columnar
     form of the reference's error-record header (RecordEL.java:245-292):
@@ -1458,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_ported_config_2": q_el_ported_config_2,
         "sdc_ported_dedup_fanin": q_sdc_ported_dedup_fanin,
         "origin_http_paginated": q_origin_http_paginated,
+        "format_avro_ocf": q_format_avro_ocf,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
         "corpus_hash_split": q_corpus_hash_split,
@@ -1855,6 +1899,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rn % 50 AS INT) AS pos_in_page,
                    event_id, event_type, value
             FROM first200
+        """,
+        "format_avro_ocf": """
+            SELECT event_id, ts, event_type, value FROM events
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

@@ -92,8 +92,11 @@ def avro_available(spark) -> bool:
 
 
 def parse_avro(col: Column, json_schema: str) -> Column:
-    """Raises a clear error when the avro data source is not loaded — the
-    reference ships avro support as a stage library too."""
+    """JVM path (spark-avro jar). When the jar is absent, use the pure-Python
+    codec instead: ``sources.avro_py.from_avro_py`` (single-datum messages)
+    and ``sources.avro_py.read_avro_files`` (object container files) decode
+    the same wire format Arrow-batched with no jar — AVRO is fully supported
+    either way; this column function simply requires the native source."""
     from pyspark.sql.avro.functions import from_avro
 
     return from_avro(col, json_schema)
