@@ -406,3 +406,149 @@ class HttpServerOrigin:
         self._server.shutdown()
         self._server.server_close()
         self._thread.join(timeout=5)
+
+
+# --------------------------------------------------------------------------
+# WebSocket Server (push) origin — RFC 6455, no jar, no framework
+# --------------------------------------------------------------------------
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+class WebSocketServerOrigin:
+    """WebSocket push origin (basic-lib/.../origin/websocketserver/
+    WebSocketServerPushSource.java + PushWebSocketReceiver.java): every
+    complete text/binary message becomes one landed spool file (the
+    reference parses each message into a record batch the same way —
+    PushWebSocketReceiver.process). Validation matches
+    WebSocketReceiverServlet.java:119: the ``X-SDC-APPLICATION-ID``
+    handshake header, or the ``sdcApplicationId`` query param when
+    ``app_id_via_query_param`` is set (WebSocketConfigs.appIdViaQueryParamAllowed).
+
+    The protocol layer is a from-scratch minimal RFC 6455 server: 101
+    upgrade with ``Sec-WebSocket-Accept = b64(sha1(key + GUID))``, masked
+    client frames (unmasking required by spec), 126/127 extended lengths,
+    continuation-frame reassembly, ping→pong, close handshake. Downstream
+    durability is the same spool-dir → Structured Streaming file source as
+    the HTTP push origin (replayable, unlike the reference's in-memory
+    dispatch)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        app_id: Optional[str] = None,
+        app_id_via_query_param: bool = False,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        suffix: str = "json",
+        max_message_size: int = 100 * 1024 * 1024,
+    ) -> None:
+        import base64
+        import hashlib
+        import socketserver
+
+        self.spool_dir = Path(spool_dir)
+        self.spool_dir.mkdir(parents=True, exist_ok=True)
+        self._seq = 0
+        self._seq_lock = threading.Lock()
+        origin = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                # ---- HTTP upgrade handshake
+                request_line = self.rfile.readline().decode("latin1").strip()
+                headers: dict[str, str] = {}
+                while True:
+                    line = self.rfile.readline().decode("latin1").strip()
+                    if not line:
+                        break
+                    k, _, v = line.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                path = request_line.split(" ")[1] if " " in request_line else "/"
+                ok_app = True
+                if app_id is not None:
+                    got = headers.get(X_SDC_APPLICATION_ID_HEADER.lower())
+                    if got is None and app_id_via_query_param and "?" in path:
+                        for kv in path.split("?", 1)[1].split("&"):
+                            if kv.startswith(SDC_APPLICATION_ID_QUERY_PARAM + "="):
+                                got = kv.split("=", 1)[1]
+                    ok_app = got == app_id
+                key = headers.get("sec-websocket-key")
+                if headers.get("upgrade", "").lower() != "websocket" or not key:
+                    self.wfile.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                    return
+                if not ok_app:
+                    self.wfile.write(b"HTTP/1.1 403 Forbidden\r\n\r\n")
+                    return
+                accept = base64.b64encode(
+                    hashlib.sha1((key + _WS_GUID).encode()).digest()
+                ).decode()
+                self.wfile.write(
+                    (
+                        "HTTP/1.1 101 Switching Protocols\r\n"
+                        "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                        f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                    ).encode()
+                )
+                # ---- frame loop
+                fragments: list[bytes] = []
+                while True:
+                    head = self.rfile.read(2)
+                    if len(head) < 2:
+                        return
+                    fin = head[0] & 0x80
+                    opcode = head[0] & 0x0F
+                    masked = head[1] & 0x80
+                    length = head[1] & 0x7F
+                    if length == 126:
+                        length = int.from_bytes(self.rfile.read(2), "big")
+                    elif length == 127:
+                        length = int.from_bytes(self.rfile.read(8), "big")
+                    if length > max_message_size:
+                        return  # 1009 in spirit; just drop the connection
+                    mask = self.rfile.read(4) if masked else b""
+                    payload = self.rfile.read(length)
+                    if masked:
+                        payload = bytes(
+                            b ^ mask[i % 4] for i, b in enumerate(payload)
+                        )
+                    if opcode == 0x8:  # close: echo and end
+                        self.wfile.write(b"\x88\x00")
+                        return
+                    if opcode == 0x9:  # ping -> pong with same payload
+                        self.wfile.write(
+                            b"\x8a" + bytes([len(payload)]) + payload
+                        )
+                        continue
+                    if opcode in (0x1, 0x2, 0x0):  # text/binary/continuation
+                        fragments.append(payload)
+                        if fin:
+                            origin._land(b"".join(fragments))
+                            fragments = []
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address[:2]
+        self._suffix = suffix
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def _land(self, body: bytes) -> None:
+        with self._seq_lock:
+            self._seq += 1
+            seq = self._seq
+        final = self.spool_dir / f"ws-{seq:010d}.{self._suffix}"
+        tmp = self.spool_dir / f".ws-{seq:010d}.tmp"
+        tmp.write_bytes(body)
+        tmp.rename(final)
+
+    @property
+    def url(self) -> str:
+        return f"ws://{self.host}:{self.port}/"
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)

@@ -322,6 +322,59 @@ def main() -> None:
         )
     )
 
+    # 12) HTTP origin: page bodies are parallelized literals, record parse is
+    # JVM from_json/posexplode — NO Python evaluation in the parse path
+    p = plan_of(qs["origin_http_paginated"](spark, sf_dir))
+    checks.append(
+        (
+            "HTTP origin parse stays JVM-side",
+            p,
+            [
+                ("explode of from_json (JVM)", "Generate" in p and "from_json" in p),
+                ("no Python UDF in parse path", "BatchEvalPython" not in p
+                 and "ArrowEvalPython" not in p and "MapInPandas" not in p),
+            ],
+        )
+    )
+
+    # 12b) HTTP range backfill: the FETCH itself is inside tasks
+    from datacollector_spark.sources.http import http_page_range_fetch
+
+    def _fake(method, url, headers, body):
+        return 200, {}, b"[]"
+
+    p = plan_of(
+        http_page_range_fetch(
+            spark, "http://x?startAt=${startAt}", "id int",
+            start=0, end=8, transport=_fake, num_partitions=4,
+        )
+    )
+    checks.append(
+        (
+            "HTTP range backfill fetches distributed",
+            p,
+            [("mapInPandas fetch stage", "MapInPandas" in p),
+             ("range-partitioned page source", "Range" in p)],
+        )
+    )
+
+    # 13) Avro OCF read: one binaryFile scan, Arrow-batched decode, no
+    # per-row Python, no shuffle
+    p = plan_of(qs["format_avro_ocf"](spark, sf_dir))
+    checks.append(
+        (
+            "Avro OCF distributed read shape",
+            p,
+            [
+                ("binaryFile scan", "binaryFile" in p or "BinaryFile" in p
+                 or "FileScan" in p),
+                ("Arrow-batched decode (mapInPandas)", "MapInPandas" in p),
+                ("no shuffle in the read", "Exchange" not in p),
+                ("no per-row Python UDF", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
