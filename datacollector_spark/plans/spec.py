@@ -110,6 +110,16 @@ class PipelineSpec:
                 if out in producers:
                     raise ValidationError(f"VALIDATION_0004: lane {out!r} produced twice")
                 producers[out] = name
+            elif typ == "http_origin":
+                if "resource_url" not in st or "record_schema" not in st:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: http origin needs "
+                        "'resource_url' and 'record_schema'"
+                    )
+                out = st.get("out", "main")
+                if out in producers:
+                    raise ValidationError(f"VALIDATION_0004: lane {out!r} produced twice")
+                producers[out] = name
             elif typ == "stream_selector":
                 if "conditions" not in st:
                     raise ValidationError(f"VALIDATION_0003: {name}: selector needs 'conditions'")
@@ -206,6 +216,24 @@ class PipelineSpec:
             cfg = {k: v for k, v in st.items() if k not in ("name", "type", "in", "out")}
             if typ == "parquet_origin":
                 _place(st.get("out", "main"), _origin(spark, cfg, lanes))
+            elif typ == "http_origin":
+                from datacollector_spark.sources.http import http_client_origin_batch
+
+                df, _off = http_client_origin_batch(
+                    spark,
+                    st["resource_url"],
+                    st["record_schema"],
+                    transport=st.get("transport"),
+                    pagination_mode=st.get("pagination_mode", "NONE"),
+                    start_at=int(st.get("start_at", 0)),
+                    result_field_path=st.get("result_field_path"),
+                    max_pages=int(st.get("max_pages", 100)),
+                )
+                # downstream stages see record columns only, like the
+                # reference's parsed records (page/pos are origin internals)
+                if not st.get("keep_page_meta", False):
+                    df = df.drop("page", "request_url", "pos_in_page")
+                _place(st.get("out", "main"), df)
             elif typ == "stream_selector":
                 routed = P.stream_selector(
                     lanes[st["in"]],
@@ -1058,6 +1086,34 @@ class PipelineSpec:
                         "out": outs[0],
                         "columns": cols,
                         "keep": op == "KEEP",
+                    }
+                )
+            elif "HttpClientDSource" in klass:
+                # HTTP Client origin (HttpClientSourceConfigBean): resourceUrl
+                # with ${startAt}, pagination bean, resultFieldPath. The
+                # endpoint itself is external, so origin_overrides supplies
+                # the transport (tests) or nothing (default urllib) plus the
+                # record schema the dataFormatConfig implies.
+                ov = origin_overrides.get(name) or {}
+                if "record_schema" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: HTTP origin needs an "
+                        "origin_overrides entry with 'record_schema' (and "
+                        "optionally 'transport')"
+                    )
+                rfp = conf.get("conf.pagination.resultFieldPath") or None
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "http_origin",
+                        "out": outs[0],
+                        "resource_url": conf.get("conf.resourceUrl", ""),
+                        "pagination_mode": conf.get("conf.pagination.mode", "NONE"),
+                        "start_at": conf.get("conf.pagination.startAt", 0),
+                        "result_field_path": (
+                            path_to_column(rfp) if rfp else None
+                        ),
+                        **ov,
                     }
                 )
             elif "DSource" in klass:

@@ -183,6 +183,77 @@ def test_server_origin_validation_gzip_and_live_roundtrip(spark, tmp_path):
         srv.stop()
 
 
+def test_from_sdc_config_http_client_origin(spark):
+    """An exported pipeline whose ORIGIN is the HTTP Client
+    (HttpClientDSource) ports end to end: pagination bean + resultFieldPath
+    translated, transport injected via origin_overrides, downstream
+    processor stages run on the parsed records."""
+    from datacollector_spark.plans.spec import PipelineSpec, ValidationError
+
+    pages = [
+        {"items": [{"id": 0, "name": "a"}, {"id": 1, "name": "bee"}]},
+        {"items": [{"id": 2, "name": "sea"}]},
+        {"items": []},
+    ]
+
+    def fetch(method, url, headers, body):
+        import re as _re
+
+        p = int(_re.search(r"startAt=(\d+)", url).group(1))
+        return 200, {}, json.dumps(pages[min(p, len(pages) - 1)]).encode()
+
+    config = {
+        "pipelineConfig": {
+            "title": "http-origin-port",
+            "stages": [
+                {
+                    "instanceName": "Http_01",
+                    "stageName": "com_streamsets_pipeline_stage_origin_http_HttpClientDSource",
+                    "configuration": [
+                        {"name": "conf.resourceUrl", "value": "http://x/api?startAt=${startAt}"},
+                        {"name": "conf.pagination.mode", "value": "BY_PAGE"},
+                        {"name": "conf.pagination.startAt", "value": 0},
+                        {"name": "conf.pagination.resultFieldPath", "value": "/items"},
+                    ],
+                    "inputLanes": [],
+                    "outputLanes": ["L_http"],
+                },
+                {
+                    "instanceName": "Expr_01",
+                    "stageName": "com_streamsets_pipeline_stage_processor_expression_ExpressionDProcessor",
+                    "configuration": [
+                        {
+                            "name": "expressionProcessorConfigs",
+                            "value": [
+                                {
+                                    "fieldToSet": "/name_len",
+                                    "expression": "${str:length(record:value('/name'))}",
+                                }
+                            ],
+                        }
+                    ],
+                    "inputLanes": ["L_http"],
+                    "outputLanes": ["L_expr"],
+                },
+            ],
+        }
+    }
+    spec = PipelineSpec.from_sdc_config(
+        config,
+        origin_overrides={
+            "Http_01": {"record_schema": REC_SCHEMA, "transport": fetch}
+        },
+    )
+    out = spec.build(spark)["L_expr"]
+    got = sorted((r.id, r.name, r.name_len) for r in out.collect())
+    assert got == [(0, "a", 1), (1, "bee", 3), (2, "sea", 3)]
+    # page/pos internals are NOT leaked to downstream stages
+    assert set(out.columns) == {"id", "name", "name_len"}
+    # missing record_schema raises the clear validation error
+    with pytest.raises(ValidationError, match="VALIDATION_0008"):
+        PipelineSpec.from_sdc_config(config, origin_overrides={"Http_01": {}})
+
+
 def test_live_loopback_client_to_server(spark, tmp_path):
     """End-to-end over real loopback HTTP: a paginated JSON API served by a
     local HTTP server, polled by the client origin with the DEFAULT urllib
