@@ -567,6 +567,30 @@ def q_proc_scripting_pandas(spark, sf_dir):
     )
 
 
+def q_proc_spark_evaluator(spark, sf_dir):
+    """Spark Evaluator (spark-processor-protolib/.../spark/SparkProcessor.java):
+    a user transformer runs over the batch with the TransformResult
+    (result, errors) two-lane contract and init params. Both lanes feed the
+    result: ok-lane rows banded by price, error lane rolled up as band -1."""
+    from datacollector_spark.operators.processors import spark_evaluator
+
+    def transformer(d, cutoff):
+        ok = d.where(F.col("o_totalprice") >= cutoff).withColumn(
+            "band", F.floor(F.col("o_totalprice") / 50000).cast("int")
+        )
+        return ok, d.where(F.col("o_totalprice") < cutoff)
+
+    src = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ok, err = spark_evaluator(src, transformer, init_params={"cutoff": 150000.0})
+    bands = ok.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    err_band = (
+        err.groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(-1).cast("int").alias("band"), "n")
+    )
+    return bands.unionByName(err_band)
+
+
 def q_proc_log_parser(spark, sf_dir):
     """Synthesize an access-log line from events, parse it back with the LOG
     format (regex groups) — logparser/LogParserProcessor.java."""
@@ -1475,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proc_json_parser": q_proc_json_parser,
         "proc_base64": q_proc_base64,
         "proc_scripting_pandas": q_proc_scripting_pandas,
+        "proc_spark_evaluator": q_proc_spark_evaluator,
         "proc_log_parser": q_proc_log_parser,
         "format_csv_roundtrip": q_format_csv_roundtrip,
         "proc_record_dedup": q_proc_record_dedup,
@@ -1633,6 +1658,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "proc_scripting_pandas": """
             SELECT doc_id, CAST(length(text) AS INT) AS text_len FROM documents
+        """,
+        "proc_spark_evaluator": """
+            WITH src AS (SELECT o_orderkey, o_totalprice FROM orders)
+            SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS band,
+                   COUNT(*) AS n
+            FROM src WHERE o_totalprice >= 150000 GROUP BY 1
+            UNION ALL
+            SELECT CAST(-1 AS INT) AS band, COUNT(*) AS n
+            FROM src WHERE o_totalprice < 150000
         """,
         "proc_log_parser": """
             WITH raw AS (

@@ -641,6 +641,35 @@ def scripting_processor(
     return df.mapInPandas(run, out_schema)
 
 
+# ----------------------------------------------------- spark evaluator
+def spark_evaluator(
+    df: DataFrame,
+    transformer: Callable,
+    init_params: dict | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Spark Evaluator (spark-processor-protolib/.../spark/
+    SparkProcessor.java): a user-supplied transformer runs over each batch.
+    The reference instantiates a ``SparkTransformer`` class — ``init(params)``
+    then ``transform(records) -> TransformResult(result, errors)`` — and
+    round-trips records through an RDD. Here the engine IS Spark, so the
+    transformer is simply a callable ``DataFrame -> DataFrame`` (or
+    ``-> (result_df, errors_df)`` for the TransformResult error lane) over
+    the live lane — no serialization boundary, full Catalyst optimization
+    across the user code's plan.
+
+    ``init_params`` mirrors the reference's preprocessMethodArgs: passed as
+    keyword args when the callable accepts them.
+    """
+    if init_params:
+        out = transformer(df, **init_params)
+    else:
+        out = transformer(df)
+    if isinstance(out, tuple):
+        result, errors = out
+        return result, errors
+    return out, None
+
+
 # ------------------------------------------------- external-I/O archetypes
 def http_client_processor(
     df: DataFrame,

@@ -131,6 +131,15 @@ class PipelineSpec:
             elif typ == "precondition_filter":
                 producers[st.get("out", "ok")] = name
                 producers[st.get("error_lane", "errors")] = name
+            elif typ == "spark_evaluator":
+                if not callable(st.get("transformer")):
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: spark_evaluator needs a "
+                        "callable 'transformer'"
+                    )
+                producers[st.get("out", st.get("in", "main"))] = name
+                if st.get("error_lane"):
+                    producers[st["error_lane"]] = name
             elif typ == "record_dedup":
                 # two output lanes: unique + duplicate (DeDupProcessor.java:
                 # OutputStreams UNIQUE/DUPLICATE ordinals)
@@ -285,6 +294,20 @@ class PipelineSpec:
                     transport=st.get("transport"),
                 ).drop("__http_url")
                 _place(st.get("out", st["in"]), enriched)
+            elif typ == "spark_evaluator":
+                result, errors = P.spark_evaluator(
+                    lanes[st["in"]],
+                    st["transformer"],
+                    init_params=st.get("init_params"),
+                )
+                _place(st.get("out", st["in"]), result)
+                if st.get("error_lane"):
+                    _place(
+                        st["error_lane"],
+                        errors
+                        if errors is not None
+                        else lanes[st["in"]].limit(0),
+                    )
             elif typ == "lane_combiner":
                 combined = lanes[st["in_lanes"][0]]
                 for lane_in in st["in_lanes"][1:]:
@@ -1086,6 +1109,31 @@ class PipelineSpec:
                         "out": outs[0],
                         "columns": cols,
                         "keep": op == "KEEP",
+                    }
+                )
+            elif "SparkDProcessor" in klass:
+                # Spark Evaluator (StandaloneSparkDProcessor): the exported
+                # config names a JVM SparkTransformer class; here user code
+                # is a Python callable supplied at port time — the engine
+                # runs it natively on the live lane
+                ov = stage_overrides.get(name) or {}
+                if not callable(ov.get("transformer")):
+                    raise ValidationError(
+                        f"VALIDATION_0009: {name}: Spark Evaluator's "
+                        "transformerClass "
+                        f"({conf.get('sparkProcessorConfigBean.transformerClass')!r}) "
+                        "is a JVM class that cannot load here — supply the "
+                        "equivalent callable via stage_overrides="
+                        f"{{{name!r}: {{'transformer': fn}}}}"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "spark_evaluator",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "transformer": ov["transformer"],
+                        "init_params": ov.get("init_params"),
                     }
                 )
             elif "HttpClientDSource" in klass:
