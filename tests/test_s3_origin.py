@@ -8,13 +8,13 @@ from __future__ import annotations
 
 import datetime as dt
 import hashlib
-import hmac
-import re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
+
+from tests.awsfake import verify_sigv4
 
 from datacollector_spark.sources.s3 import (
     S3Client,
@@ -31,53 +31,8 @@ ACCESS, SECRET, REGION = "AKTEST", "s3cretkey", "us-east-1"
 
 
 # ---------------------------------------------------------------- fake S3
-def _sha256_hex(b: bytes) -> str:
-    return hashlib.sha256(b).hexdigest()
-
-
 def _verify_sigv4(handler, payload: bytes) -> bool:
-    """Server-side recompute of the signature from the raw request."""
-    auth = handler.headers.get("Authorization", "")
-    m = re.match(
-        r"AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/([^/]+)/aws4_request, "
-        r"SignedHeaders=([^,]+), Signature=([0-9a-f]+)",
-        auth,
-    )
-    if not m:
-        return False
-    access, datestamp, region, service, signed, signature = m.groups()
-    if access != ACCESS:
-        return False
-    parts = urllib.parse.urlsplit(handler.path)
-    q = urllib.parse.parse_qsl(parts.query, keep_blank_values=True)
-    canonical_query = "&".join(
-        f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
-        for k, v in sorted(q)
-    )
-    names = signed.split(";")
-    canonical_headers = "".join(
-        f"{n}:{(handler.headers.get(n) or '').strip()}\n" for n in names
-    )
-    canonical_request = "\n".join(
-        [
-            handler.command,
-            parts.path or "/",
-            canonical_query,
-            canonical_headers,
-            signed,
-            _sha256_hex(payload),
-        ]
-    )
-    amz_date = handler.headers.get("x-amz-date", "")
-    scope = f"{datestamp}/{region}/{service}/aws4_request"
-    sts = "\n".join(
-        ["AWS4-HMAC-SHA256", amz_date, scope, _sha256_hex(canonical_request.encode())]
-    )
-    k = hmac.new(("AWS4" + SECRET).encode(), datestamp.encode(), hashlib.sha256).digest()
-    for part in (region, service, "aws4_request"):
-        k = hmac.new(k, part.encode(), hashlib.sha256).digest()
-    expect = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
-    return hmac.compare_digest(expect, signature)
+    return verify_sigv4(handler, payload, ACCESS, SECRET)
 
 
 class FakeS3:
