@@ -1284,6 +1284,132 @@ def q_origin_http_paginated(spark, sf_dir):
     return df.select("page", "pos_in_page", "event_id", "event_type", "value")
 
 
+def q_origin_s3_spool(spark, sf_dir):
+    """Amazon S3 origin over a LIVE loopback S3-compatible endpoint: the
+    first 120 customers land as 6 JSON-lines objects; the origin lists
+    lexicographically, drains 4 objects, then RESUMES from the durable
+    ``key::offset::eTag::timestamp`` offset for the remaining 2; object
+    bodies are fetched by executors (mapInPandas), never the driver.
+    Reference: aws-lib/.../origin/s3/AmazonS3Util.java:64-117 (marker
+    listing), AbstractAmazonS3Source.java:246-295 (offset format). SigV4
+    signature verification is pinned separately in tests/test_s3_origin.py
+    (server-side recompute); this gate fake accepts the signed requests."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qsl, urlsplit
+
+    import pyarrow.parquet as _pq
+
+    from datacollector_spark.sources.s3 import S3ClientConfig, s3_spool_batch
+
+    tbl = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["c_custkey"])[:120]
+    objects = {}
+    for chunk in range(6):
+        body = "".join(
+            _json.dumps(r) + "\n" for r in rows[chunk * 20 : (chunk + 1) * 20]
+        ).encode()
+        objects[f"in/cust-{chunk:02d}.jsonl"] = body
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            parts = urlsplit(self.path)
+            segs = parts.path.lstrip("/").split("/", 1)
+            if len(segs) > 1 and segs[1]:
+                data = objects[segs[1]]
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            q = dict(parse_qsl(parts.query))
+            after = q.get("continuation-token") or q.get("start-after", "")
+            keys = sorted(
+                k for k in objects if k.startswith(q.get("prefix", "")) and k > after
+            )
+            xml = ["<ListBucketResult>"]
+            for k in keys:
+                xml.append(
+                    f"<Contents><Key>{k}</Key>"
+                    "<LastModified>2026-01-01T00:00:00.000Z</LastModified>"
+                    f"<ETag>&quot;e{k[-8:-6]}&quot;</ETag>"
+                    f"<Size>{len(objects[k])}</Size></Contents>"
+                )
+            xml.append("<IsTruncated>false</IsTruncated></ListBucketResult>")
+            data = "".join(xml).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    cfg = S3ClientConfig(
+        f"http://127.0.0.1:{httpd.server_address[1]}", "AK", "SK"
+    )
+    try:
+        df1, off = s3_spool_batch(
+            spark, cfg, "b", "in/", "*.jsonl", max_objects=4, fetch_partitions=2
+        )
+        df2, _ = s3_spool_batch(
+            spark, cfg, "b", "in/", "*.jsonl", last_offset=off, fetch_partitions=2
+        )
+        both = df1.unionByName(df2).select("key", "body").localCheckpoint()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        t.join(timeout=5)
+    lines = both.select(
+        "key",
+        F.explode(F.split(F.col("body").cast("string"), "\n")).alias("line"),
+    ).where(F.col("line") != "")
+    return lines.select(
+        "key",
+        F.from_json(
+            "line", "c_custkey long, c_name string, c_acctbal double"
+        ).alias("r"),
+    ).select("key", "r.*")
+
+
+def q_origin_sdcipc(spark, sf_dir):
+    """SDC RPC pipeline-to-pipeline over LIVE loopback: the first 150 orders
+    are POSTed executor-side (`sdc_ipc_target`, snappy framed compression
+    via the from-scratch codec) to a live `SdcIpcOrigin`, which validates
+    app-id/content-type, decompresses, lands atomically, and reads back.
+    Reference: basic-lib origin/sdcipc/IpcServlet.java + destination/sdcipc/
+    SdcIpcTarget.java."""
+    import tempfile
+
+    from datacollector_spark.sources.sdcipc import SdcIpcOrigin, sdc_ipc_target
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(150)
+        .repartition(4)
+    )
+    spool = tempfile.mkdtemp(prefix="sdcipc_gate_")
+    origin = SdcIpcOrigin(spool, app_id="gate")
+    try:
+        sdc_ipc_target(
+            src, [origin.host_port], "gate", compression=True, batch_size=32
+        )
+        back = origin.read(
+            spark, schema="o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).localCheckpoint()
+    finally:
+        origin.stop()
+    return back
+
+
 def q_format_avro_ocf(spark, sf_dir):
     """AVRO data format end to end WITHOUT the spark-avro jar: events are
     written to Avro Object Container Files by the pure-Python spec codec
@@ -1526,6 +1652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_ported_config_2": q_el_ported_config_2,
         "sdc_ported_dedup_fanin": q_sdc_ported_dedup_fanin,
         "origin_http_paginated": q_origin_http_paginated,
+        "origin_s3_spool": q_origin_s3_spool,
+        "origin_sdcipc": q_origin_sdcipc,
         "format_avro_ocf": q_format_avro_ocf,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
@@ -1933,6 +2061,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rn % 50 AS INT) AS pos_in_page,
                    event_id, event_type, value
             FROM first200
+        """,
+        "origin_s3_spool": """
+            WITH first120 AS (
+                SELECT c_custkey, c_name, c_acctbal,
+                       row_number() OVER (ORDER BY c_custkey) - 1 AS rn
+                FROM customer
+                ORDER BY c_custkey
+                LIMIT 120
+            )
+            SELECT 'in/cust-' || lpad(CAST(rn // 20 AS VARCHAR), 2, '0')
+                       || '.jsonl' AS key,
+                   c_custkey, c_name, c_acctbal
+            FROM first120
+        """,
+        "origin_sdcipc": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 150)
         """,
         "format_avro_ocf": """
             SELECT event_id, ts, event_type, value FROM events
