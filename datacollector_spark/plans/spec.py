@@ -51,6 +51,56 @@ def _origin(spark, cfg, _lanes):
     return reader.format(fmt).load(cfg["path"])
 
 
+def _connector_writer(typ: str, st: dict, src: Any):
+    """Build the deferred write closure for a connector destination stage —
+    executed by :meth:`PipelineSpec.run_targets`, never during build()."""
+    if typ == "solr_target":
+        def write():
+            from datacollector_spark.operators.processors import solr_sink
+
+            return solr_sink(
+                src,
+                st["solr_uri"],
+                st["collection"],
+                st["field_map"],
+                indexing_mode=st.get("indexing_mode", "BATCH"),
+                batch_size=int(st.get("batch_size", 500)),
+                transport=st.get("transport"),
+            ).collect()
+    elif typ == "cassandra_target":
+        def write():
+            from datacollector_spark.sources.cassandra import (
+                CassandraConfig,
+                cassandra_target,
+            )
+
+            cassandra_target(
+                src,
+                CassandraConfig(
+                    st["contact_point"],
+                    int(st.get("port", 9042)),
+                    consistency=st.get("consistency", "LOCAL_QUORUM"),
+                    batch_type=st.get("batch_type", "LOGGED"),
+                    max_batch_size=int(st.get("max_batch_size", 65535)),
+                ),
+                st["qualified_table"],
+                st["column_map"],
+            )
+    else:  # sdcipc_target
+        def write():
+            from datacollector_spark.sources.sdcipc import sdc_ipc_target
+
+            sdc_ipc_target(
+                src,
+                list(st["host_ports"]),
+                st["app_id"],
+                compression=bool(st.get("compression", False)),
+                retries_per_batch=int(st.get("retries_per_batch", 3)),
+                back_off=int(st.get("back_off", 0)),
+            )
+    return write
+
+
 _PROCESSORS: dict[str, tuple[Any, list[str]]] = {
     "field_masker": (P.field_masker, ["columns"]),
     "field_hasher": (P.field_hasher, ["columns", "target"]),
@@ -186,6 +236,32 @@ class PipelineSpec:
                             f"VALIDATION_0003: {name}: {typ} needs {key!r}"
                         )
                 producers[st.get("out", st.get("in", "main"))] = name
+            elif typ in ("s3_origin_spool", "kinesis_origin", "json_spool_origin"):
+                req_by_type = {
+                    "s3_origin_spool": ("endpoint", "bucket"),
+                    "kinesis_origin": ("endpoint", "stream"),
+                    "json_spool_origin": ("spool_dir",),
+                }
+                for key in req_by_type[typ]:
+                    if key not in st:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: {typ} needs {key!r}"
+                        )
+                out = st.get("out", "main")
+                if out in producers:
+                    raise ValidationError(f"VALIDATION_0004: lane {out!r} produced twice")
+                producers[out] = name
+            elif typ in ("solr_target", "cassandra_target", "sdcipc_target"):
+                req_by_type = {
+                    "solr_target": ("solr_uri", "collection", "field_map"),
+                    "cassandra_target": ("contact_point", "qualified_table", "column_map"),
+                    "sdcipc_target": ("host_ports", "app_id"),
+                }
+                for key in req_by_type[typ]:
+                    if key not in st:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: {typ} needs {key!r}"
+                        )
             elif typ == "memory_target":
                 pass
             else:
@@ -207,6 +283,10 @@ class PipelineSpec:
         lane is still returned under '<lane>:computed' so a preview shows
         both what the stage produced and what downstream consumed."""
         overrides = overrides or {}
+        # connector destinations register side-effecting writers here;
+        # build() stays lazy, run_targets() performs the writes
+        self.target_writers: dict[str, Any] = {}
+        self.last_offsets: dict[str, str] = {}
 
         def _place(lane: str, df: DataFrame) -> None:
             if lane in overrides:
@@ -316,10 +396,69 @@ class PipelineSpec:
             elif typ in _PROCESSORS:
                 fn, _ = _PROCESSORS[typ]
                 _place(st.get("out", st["in"]), fn(lanes[st["in"]], **cfg))
+            elif typ == "s3_origin_spool":
+                from datacollector_spark.sources.s3 import (
+                    S3ClientConfig,
+                    s3_spool_batch,
+                )
+
+                df, off = s3_spool_batch(
+                    spark,
+                    S3ClientConfig(
+                        st["endpoint"],
+                        st.get("access_key", ""),
+                        st.get("secret_key", ""),
+                        region=st.get("region", "us-east-1"),
+                    ),
+                    st["bucket"],
+                    st.get("common_prefix", ""),
+                    st.get("prefix_pattern", "*"),
+                    ordering=st.get("ordering", "LEXICOGRAPHICAL"),
+                    last_offset=st.get("last_offset"),
+                    fetch_partitions=int(st.get("fetch_partitions", 0)),
+                )
+                self.last_offsets[st["name"]] = off
+                _place(st.get("out", "main"), df)
+            elif typ == "kinesis_origin":
+                from datacollector_spark.sources.kinesis import (
+                    KinesisClientConfig,
+                    kinesis_origin_batch,
+                )
+
+                df, off = kinesis_origin_batch(
+                    spark,
+                    KinesisClientConfig(
+                        st["endpoint"],
+                        st.get("access_key", ""),
+                        st.get("secret_key", ""),
+                        region=st.get("region", "us-east-1"),
+                    ),
+                    st["stream"],
+                    initial_position=st.get("initial_position", "LATEST"),
+                    last_offsets=st.get("last_offsets"),
+                )
+                self.last_offsets[st["name"]] = off
+                _place(st.get("out", "main"), df)
+            elif typ == "json_spool_origin":
+                reader = spark.read
+                if st.get("record_schema"):
+                    reader = reader.schema(st["record_schema"])
+                _place(st.get("out", "main"), reader.json(st["spool_dir"]))
+            elif typ in ("solr_target", "cassandra_target", "sdcipc_target"):
+                src = lanes[st["in"]]
+                targets[st["name"]] = src
+                self.target_writers[st["name"]] = _connector_writer(typ, st, src)
             elif typ == "memory_target":
                 targets[st["name"]] = lanes[st["in"]]
         lanes.update(targets)
         return lanes
+
+    def run_targets(self) -> dict[str, Any]:
+        """Execute every connector destination registered by the last
+        ``build()`` (the write IS the action — the reference's runner
+        commits a batch to its targets the same way). Returns {stage: sink
+        meters or None}."""
+        return {name: fn() for name, fn in self.target_writers.items()}
 
     # ------------------------------------------------- SDC config porting
     @classmethod
@@ -1161,6 +1300,150 @@ class PipelineSpec:
                         "result_field_path": (
                             path_to_column(rfp) if rfp else None
                         ),
+                        **ov,
+                    }
+                )
+            elif "AmazonS3DSource" in klass:
+                # S3 origin (S3ConfigBean: s3Config.bucket/commonPrefix,
+                # s3FileConfig.prefixPattern/objectOrdering); regional AWS
+                # endpoints are unreachable here, so overrides supply
+                # endpoint+credentials (or the export's OTHER-region
+                # s3Config.endpoint is honored)
+                ov = origin_overrides.get(name) or {}
+                endpoint = ov.get("endpoint") or conf.get("s3ConfigBean.s3Config.endpoint")
+                if not endpoint:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: S3 origin needs an "
+                        "'endpoint' (origin_overrides or the export's "
+                        "s3Config.endpoint)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "s3_origin_spool",
+                        "out": outs[0],
+                        "endpoint": endpoint,
+                        "access_key": conf.get(
+                            "s3ConfigBean.s3Config.awsConfig.awsAccessKeyId", ""
+                        ),
+                        "secret_key": conf.get(
+                            "s3ConfigBean.s3Config.awsConfig.awsSecretAccessKey", ""
+                        ),
+                        "bucket": conf.get("s3ConfigBean.s3Config.bucket", ""),
+                        "common_prefix": conf.get(
+                            "s3ConfigBean.s3Config.commonPrefix", ""
+                        ),
+                        "prefix_pattern": conf.get(
+                            "s3ConfigBean.s3FileConfig.prefixPattern", "*"
+                        ),
+                        "ordering": conf.get(
+                            "s3ConfigBean.s3FileConfig.objectOrdering",
+                            "LEXICOGRAPHICAL",
+                        ),
+                        **ov,
+                    }
+                )
+            elif "KinesisDSource" in klass:
+                # Kinesis origin (KinesisConfigBean.streamName/endpoint,
+                # initialPositionInStream default LATEST)
+                ov = origin_overrides.get(name) or {}
+                endpoint = ov.get("endpoint") or conf.get("kinesisConfig.endpoint")
+                if not endpoint:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Kinesis origin needs an "
+                        "'endpoint' (origin_overrides or kinesisConfig.endpoint)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "kinesis_origin",
+                        "out": outs[0],
+                        "endpoint": endpoint,
+                        "access_key": conf.get(
+                            "kinesisConfig.awsConfig.awsAccessKeyId", ""
+                        ),
+                        "secret_key": conf.get(
+                            "kinesisConfig.awsConfig.awsSecretAccessKey", ""
+                        ),
+                        "stream": conf.get("kinesisConfig.streamName", ""),
+                        "initial_position": conf.get(
+                            "kinesisConfig.initialPositionInStream", "LATEST"
+                        ),
+                        **ov,
+                    }
+                )
+            elif "SdcIpcDSource" in klass or "SdcIpcWithDiskBufferDSource" in klass:
+                # SDC RPC origin: the LISTENER is process state
+                # (sources/sdcipc.SdcIpcOrigin), not pipeline config; the
+                # ported stage reads the listener's spool landing dir
+                ov = origin_overrides.get(name) or {}
+                if "spool_dir" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: SDC RPC origin needs an "
+                        "origin_overrides entry with the running listener's "
+                        "'spool_dir' (start one with SdcIpcOrigin(spool_dir, "
+                        f"app_id={conf.get('configs.appId')!r}))"
+                    )
+                stages.append(
+                    {"name": name, "type": "json_spool_origin", "out": outs[0], **ov}
+                )
+            elif "SolrDTarget" in klass:
+                ov = stage_overrides.get(name) or {}
+                fmap = {
+                    path_to_column(m["field"]): m["solrFieldName"]
+                    for m in (conf.get("fieldNamesMap") or [])
+                }
+                if not fmap:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: Solr target needs a "
+                        "non-empty fieldNamesMap (SOLR_02)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "solr_target",
+                        "in": ins[0],
+                        "solr_uri": conf.get("solrURI", ""),
+                        "collection": conf.get("defaultCollection")
+                        or "collection1",
+                        "field_map": fmap,
+                        "indexing_mode": conf.get("indexingMode", "BATCH"),
+                        **ov,
+                    }
+                )
+            elif "CassandraDTarget" in klass:
+                ov = stage_overrides.get(name) or {}
+                cmap = {
+                    path_to_column(m["field"]): m["columnName"]
+                    for m in (conf.get("conf.columnNames") or [])
+                }
+                contact_points = conf.get("conf.contactPoints") or []
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "cassandra_target",
+                        "in": ins[0],
+                        "contact_point": contact_points[0] if contact_points else "",
+                        "port": conf.get("conf.port", 9042),
+                        "qualified_table": conf.get("conf.qualifiedTableName", ""),
+                        "column_map": cmap,
+                        "batch_type": conf.get("conf.batchType", "LOGGED"),
+                        "max_batch_size": conf.get("conf.maxBatchSize", 65535),
+                        **ov,
+                    }
+                )
+            elif "SdcIpcDTarget" in klass:
+                ov = stage_overrides.get(name) or {}
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "sdcipc_target",
+                        "in": ins[0],
+                        "host_ports": conf.get("config.hostPorts") or [],
+                        "app_id": conf.get("config.appId", ""),
+                        "compression": conf.get("config.compression", False),
+                        "retries_per_batch": conf.get("config.retriesPerBatch", 3),
+                        "back_off": conf.get("config.backOff", 0),
                         **ov,
                     }
                 )
