@@ -375,6 +375,39 @@ def main() -> None:
         )
     )
 
+    # 20) S3 origin distributed fetch: driver ships only key metadata; the
+    # GET fan-out is an Arrow-batched mapInPandas over a repartitioned key
+    # frame — exactly one round-robin exchange (the fan-out), no Python row
+    # loop, no data-bearing shuffle
+    from datacollector_spark.sources.s3 import S3ClientConfig, s3_whole_object_batch
+
+    objs = [
+        {"key": f"in/f{i:02d}.jsonl", "last_modified": "2026-01-01T00:00:00.000Z",
+         "etag": f"e{i}"}
+        for i in range(16)
+    ]
+    df = s3_whole_object_batch(
+        spark,
+        S3ClientConfig("http://127.0.0.1:1", "AK", "SK"),
+        "bucket",
+        objs,
+        fetch_partitions=8,
+    )
+    p = plan_of(df)
+    checks.append(
+        (
+            "S3 origin distributed object fetch",
+            p,
+            [
+                ("Arrow-batched fetch (mapInPandas)", "MapInPandas" in p),
+                ("fan-out is the ONLY exchange",
+                 len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+                 and "roundrobin" in p.lower()),
+                ("no per-row Python UDF", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
