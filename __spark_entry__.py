@@ -1453,6 +1453,40 @@ def q_format_avro_ocf(spark, sf_dir):
     )
 
 
+def q_format_sdc_record(spark, sf_dir):
+    """SDC_RECORD (SDC_JSON) — the reference's OWN record wire format
+    (container/.../record/io/RecordWriterReaderFactory.java JSON1: magic
+    0xA1 + one-line JSON FieldWithPath trees), implemented from scratch in
+    sources/sdc_record.py.  Events round-trip through it end to end:
+    executors write one stream per partition (foreachPartition, no driver
+    data path), then a distributed binaryFile scan + Arrow-batched decode
+    reads them back.  Timestamps truncate to millis on BOTH sides — SDC's
+    DATETIME is java.util.Date epoch-millis by definition, and the oracle
+    mirrors the truncation."""
+    import tempfile
+
+    from datacollector_spark.sources.sdc_record import (
+        read_sdc_record_files,
+        write_sdc_record_files,
+    )
+
+    df = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_trunc("millisecond", "ts").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .repartition(4)
+    )
+    out_dir = tempfile.mkdtemp(prefix="sdc_record_")
+    write_sdc_record_files(df, out_dir)
+    return read_sdc_record_files(spark, out_dir, df.schema).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
 def q_proc_error_lane_headers(spark, sf_dir):
     """The error lane's record header as metadata columns — the columnar
     form of the reference's error-record header (RecordEL.java:245-292):
@@ -1655,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "origin_s3_spool": q_origin_s3_spool,
         "origin_sdcipc": q_origin_sdcipc,
         "format_avro_ocf": q_format_avro_ocf,
+        "format_sdc_record": q_format_sdc_record,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
         "corpus_hash_split": q_corpus_hash_split,
@@ -2081,6 +2116,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "format_avro_ocf": """
             SELECT event_id, ts, event_type, value FROM events
+        """,
+        "format_sdc_record": """
+            SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+                   event_type, value
+            FROM events
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

@@ -236,11 +236,17 @@ class PipelineSpec:
                             f"VALIDATION_0003: {name}: {typ} needs {key!r}"
                         )
                 producers[st.get("out", st.get("in", "main"))] = name
-            elif typ in ("s3_origin_spool", "kinesis_origin", "json_spool_origin"):
+            elif typ in (
+                "s3_origin_spool",
+                "kinesis_origin",
+                "json_spool_origin",
+                "sdc_record_spool_origin",
+            ):
                 req_by_type = {
                     "s3_origin_spool": ("endpoint", "bucket"),
                     "kinesis_origin": ("endpoint", "stream"),
                     "json_spool_origin": ("spool_dir",),
+                    "sdc_record_spool_origin": ("spool_dir", "record_schema"),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -444,6 +450,23 @@ class PipelineSpec:
                 if st.get("record_schema"):
                     reader = reader.schema(st["record_schema"])
                 _place(st.get("out", "main"), reader.json(st["spool_dir"]))
+            elif typ == "sdc_record_spool_origin":
+                # the reference's own SDC_RECORD (SDC_JSON) wire format:
+                # distributed binaryFile scan + Arrow-batched decode
+                from datacollector_spark.sources.sdc_record import (
+                    read_sdc_record_files,
+                )
+
+                df = read_sdc_record_files(
+                    spark,
+                    st["spool_dir"],
+                    st["record_schema"],
+                    glob=st.get("glob", "*.sdc"),
+                    with_headers=st.get("with_headers", False),
+                )
+                if not st.get("keep_file_column", False):
+                    df = df.drop("_file")
+                _place(st.get("out", "main"), df)
             elif typ in ("solr_target", "cassandra_target", "sdcipc_target"):
                 src = lanes[st["in"]]
                 targets[st["name"]] = src
@@ -1387,6 +1410,73 @@ class PipelineSpec:
                 stages.append(
                     {"name": name, "type": "json_spool_origin", "out": outs[0], **ov}
                 )
+            elif "SpoolDirDSource" in klass:
+                # Directory origin (SpoolDirConfigBean: conf.spoolDir /
+                # conf.filePattern / conf.dataFormat — basic-lib/.../
+                # spooldir/SpoolDirConfigBean.java:34-77).  JSON rides
+                # Spark's native json reader; SDC_JSON is the reference's
+                # own record wire format (RecordWriterReaderFactory JSON1),
+                # read jar-free by sources/sdc_record.py — it needs the
+                # record schema the value LIST_MAP carries (the reference
+                # gets it from the records themselves; a columnar plan
+                # needs it declared up front).
+                ov = origin_overrides.get(name) or {}
+                if "path" in ov:
+                    # the established origin-replacement pattern: a local
+                    # 'path' override swaps the origin for a parquet read
+                    # (tests / previews against lake extracts)
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "parquet_origin",
+                            "out": outs[0],
+                            **ov,
+                        }
+                    )
+                    continue
+                spool = ov.get("spool_dir") or conf.get("conf.spoolDir")
+                if not spool:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Directory origin needs "
+                        "'conf.spoolDir' (or an origin_overrides spool_dir)"
+                    )
+                fmt = conf.get("conf.dataFormat", "JSON")
+                if fmt == "SDC_JSON":
+                    if "record_schema" not in ov:
+                        raise ValidationError(
+                            f"VALIDATION_0008: {name}: SDC_RECORD data "
+                            "format needs an origin_overrides entry with "
+                            "'record_schema' (StructType of the record's "
+                            "root field)"
+                        )
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "sdc_record_spool_origin",
+                            "out": outs[0],
+                            "spool_dir": spool,
+                            "glob": conf.get("conf.filePattern", "*.sdc"),
+                            **ov,
+                        }
+                    )
+                elif fmt == "JSON":
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "json_spool_origin",
+                            "out": outs[0],
+                            "spool_dir": spool,
+                            **{k: v for k, v in ov.items() if k != "spool_dir"},
+                        }
+                    )
+                else:
+                    raise ValidationError(
+                        f"VALIDATION_0006: {name}: Directory origin "
+                        f"dataFormat {fmt!r} is not config-portable here "
+                        "(JSON and SDC_JSON are; use the engine API in "
+                        "sources/spooldir.py + sources/formats.py for the "
+                        "other formats)"
+                    )
             elif "SolrDTarget" in klass:
                 ov = stage_overrides.get(name) or {}
                 fmap = {
