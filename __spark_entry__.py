@@ -1487,6 +1487,68 @@ def q_format_sdc_record(spark, sf_dir):
     )
 
 
+def q_lookup_redis_kv(spark, sf_dir):
+    """Redis KV lookup over a LIVE loopback RESP2 server: nation names are
+    seeded as string keys, then every customer row looks up its nation via
+    the from-scratch RESP client (sources/redis.py) — executors open one
+    connection per task and collapse each Arrow batch's keys into chunked
+    ``MGET`` pipelines (RedisStore.java:54-79 semantics, Jedis pipeline
+    analog).  The fake answers genuine RESP2 wire bytes (``*N``/``$len``
+    arrays, ``$-1`` nil for misses), so encoder and parser are both
+    exercised; the oracle is the equivalent dimension join."""
+    import socketserver
+    import threading
+
+    import pyarrow.parquet as _pq
+
+    from datacollector_spark.sources.redis import redis_kv_lookup
+
+    nations = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pylist()
+    store = {f"nation-{r['n_nationkey']}": r["n_name"] for r in nations}
+
+    class H(socketserver.StreamRequestHandler):
+        def handle(self):
+            while True:
+                line = self.rfile.readline()
+                if not line or not line.startswith(b"*"):
+                    return
+                args = []
+                for _ in range(int(line[1:].strip())):
+                    ln = int(self.rfile.readline()[1:].strip())
+                    args.append(self.rfile.read(ln).decode())
+                    self.rfile.read(2)
+                if args and args[0].upper() == "MGET":
+                    out = [b"*%d\r\n" % (len(args) - 1)]
+                    for k in args[1:]:
+                        v = store.get(k)
+                        if v is None:
+                            out.append(b"$-1\r\n")
+                        else:
+                            vb = v.encode()
+                            out.append(b"$%d\r\n%s\r\n" % (len(vb), vb))
+                    self.wfile.write(b"".join(out))
+                else:
+                    self.wfile.write(b"-ERR unsupported\r\n")
+
+    class Srv(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    keyed = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").withColumn(
+        "__redis_key",
+        F.concat(F.lit("nation-"), F.col("c_nationkey").cast("string")),
+    )
+    return redis_kv_lookup(
+        keyed, "__redis_key", f"redis://127.0.0.1:{port}", into="nation_name"
+    ).select("c_custkey", "c_nationkey", "nation_name")
+
+
 def q_proc_error_lane_headers(spark, sf_dir):
     """The error lane's record header as metadata columns — the columnar
     form of the reference's error-record header (RecordEL.java:245-292):
@@ -1690,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "origin_sdcipc": q_origin_sdcipc,
         "format_avro_ocf": q_format_avro_ocf,
         "format_sdc_record": q_format_sdc_record,
+        "lookup_redis_kv": q_lookup_redis_kv,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
         "corpus_hash_split": q_corpus_hash_split,
@@ -2121,6 +2184,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, date_trunc('milliseconds', ts) AS ts,
                    event_type, value
             FROM events
+        """,
+        "lookup_redis_kv": """
+            SELECT c_custkey, c_nationkey, n_name AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

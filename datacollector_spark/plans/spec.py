@@ -86,6 +86,18 @@ def _connector_writer(typ: str, st: dict, src: Any):
                 st["qualified_table"],
                 st["column_map"],
             )
+    elif typ == "redis_target":
+        def write():
+            from datacollector_spark.sources.redis import redis_target
+
+            redis_target(
+                src,
+                st["uri"],
+                st.get("field_mappings") or [],
+                mode=st.get("mode", "BATCH"),
+                channel=st.get("channel"),
+                batch_size=int(st.get("batch_size", 1000)),
+            )
     else:  # sdcipc_target
         def write():
             from datacollector_spark.sources.sdcipc import sdc_ipc_target
@@ -257,11 +269,24 @@ class PipelineSpec:
                 if out in producers:
                     raise ValidationError(f"VALIDATION_0004: lane {out!r} produced twice")
                 producers[out] = name
-            elif typ in ("solr_target", "cassandra_target", "sdcipc_target"):
+            elif typ == "redis_lookup":
+                for key in ("uri", "lookups"):
+                    if key not in st:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: redis_lookup needs {key!r}"
+                        )
+                producers[st.get("out", st.get("in", "main"))] = name
+            elif typ in (
+                "solr_target",
+                "cassandra_target",
+                "sdcipc_target",
+                "redis_target",
+            ):
                 req_by_type = {
                     "solr_target": ("solr_uri", "collection", "field_map"),
                     "cassandra_target": ("contact_point", "qualified_table", "column_map"),
                     "sdcipc_target": ("host_ports", "app_id"),
+                    "redis_target": ("uri",),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -467,7 +492,28 @@ class PipelineSpec:
                 if not st.get("keep_file_column", False):
                     df = df.drop("_file")
                 _place(st.get("out", "main"), df)
-            elif typ in ("solr_target", "cassandra_target", "sdcipc_target"):
+            elif typ == "redis_lookup":
+                from pyspark.sql import functions as F
+
+                from datacollector_spark.sources.redis import redis_kv_lookup
+
+                df = lanes[st["in"]]
+                for lk in st["lookups"]:
+                    keyed = df.withColumn("__redis_key", F.expr(lk["key_expr"]))
+                    df = redis_kv_lookup(
+                        keyed,
+                        "__redis_key",
+                        st["uri"],
+                        into=lk["into"],
+                        data_type=lk.get("data_type", "STRING"),
+                    ).drop("__redis_key")
+                _place(st.get("out", "main"), df)
+            elif typ in (
+                "solr_target",
+                "cassandra_target",
+                "sdcipc_target",
+                "redis_target",
+            ):
                 src = lanes[st["in"]]
                 targets[st["name"]] = src
                 self.target_writers[st["name"]] = _connector_writer(typ, st, src)
@@ -1535,6 +1581,78 @@ class PipelineSpec:
                         "retries_per_batch": conf.get("config.retriesPerBatch", 3),
                         "back_off": conf.get("config.backOff", 0),
                         **ov,
+                    }
+                )
+            elif "RedisLookupDProcessor" in klass:
+                # Redis KV Lookup (redis-lib/.../kv/redis/
+                # RedisLookupProcessor.java:107,145 — keyExpr is EL,
+                # evaluated per record; conf.lookups rows carry
+                # {keyExpr, outputFieldPath, dataType}).  The Redis
+                # endpoint rides the export's conf.uri or a
+                # stage_overrides {'uri': ...} (tests point it at the
+                # loopback RESP fake).
+                ov = stage_overrides.get(name) or {}
+                uri = ov.get("uri") or conf.get("conf.uri")
+                if not uri:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Redis lookup needs "
+                        "'conf.uri' (or a stage_overrides uri)"
+                    )
+                lookups = conf.get("conf.lookups") or []
+                if not lookups:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: conf.lookups is empty"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "redis_lookup",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "uri": uri,
+                        "lookups": [
+                            {
+                                "key_expr": el(lk["keyExpr"]),
+                                "into": path_to_column(lk["outputFieldPath"]),
+                                "data_type": lk.get("dataType", "STRING"),
+                            }
+                            for lk in lookups
+                        ],
+                    }
+                )
+            elif "RedisDTarget" in klass:
+                # Redis destination (redis-lib/.../destination/redis/
+                # RedisTarget.java): BATCH mode maps conf.redisFieldMapping
+                # rows {keyExpr, valExpr, dataType, ttl} (field PATHS, not
+                # EL — RedisTarget.java:204-207 record.get) onto pipelined
+                # SET/LPUSH/SADD/HSET; PUBLISH mode takes the first
+                # conf.channel entry.
+                ov = stage_overrides.get(name) or {}
+                uri = ov.get("uri") or conf.get("conf.uri")
+                if not uri:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Redis target needs "
+                        "'conf.uri' (or a stage_overrides uri)"
+                    )
+                channels = conf.get("conf.channel") or []
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "redis_target",
+                        "in": ins[0],
+                        "uri": uri,
+                        "mode": conf.get("conf.mode", "BATCH"),
+                        "field_mappings": [
+                            {
+                                "key": path_to_column(m["keyExpr"]),
+                                "value": path_to_column(m["valExpr"]),
+                                "data_type": m.get("dataType", "STRING"),
+                                "ttl": m.get("ttl", -1),
+                            }
+                            for m in (conf.get("conf.redisFieldMapping") or [])
+                        ],
+                        "channel": channels[0] if channels else None,
+                        **{k: v for k, v in ov.items() if k != "uri"},
                     }
                 )
             elif "DSource" in klass:
