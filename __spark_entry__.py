@@ -1487,6 +1487,59 @@ def q_format_sdc_record(spark, sf_dir):
     )
 
 
+def q_origin_es_scroll(spark, sf_dir):
+    """Elasticsearch origin over a LIVE loopback endpoint running the real
+    sliced-scroll protocol: the first 200 orders are indexed as documents,
+    then FOUR parallel scroll cursors (slice id/max in the search body,
+    ``POST /_search/scroll`` pagination, ``DELETE`` at drain) pull them
+    back — one executor task per slice, 25-hit pages, so every row moves
+    executor-side (sources/elasticsearch.py; reference
+    elasticsearch-protolib/.../ElasticsearchSource.java:263-271,292-321).
+    Oracle = the same 200 orders straight from parquet."""
+    import os
+    import sys
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from datacollector_spark.sources.elasticsearch import (
+        EsScrollConfig,
+        es_scroll_batch,
+    )
+
+    try:
+        from tests.esfake import FakeEs
+    except ImportError:  # driver ran from another cwd — anchor on this file
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.esfake import FakeEs
+
+    rows = sorted(
+        _pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).to_pylist(),
+        key=lambda r: r["o_orderkey"],
+    )[:200]
+    fake = FakeEs([(f"o{r['o_orderkey']}", r) for r in rows])
+    fake.start()
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    cfg = EsScrollConfig(
+        f"http://127.0.0.1:{fake.port}",
+        "orders",
+        num_slices=4,
+        max_batch_size=25,
+    )
+    return es_scroll_batch(spark, cfg, schema).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 def q_lookup_redis_kv(spark, sf_dir):
     """Redis KV lookup over a LIVE loopback RESP2 server: nation names are
     seeded as string keys, then every customer row looks up its nation via
@@ -1752,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "origin_sdcipc": q_origin_sdcipc,
         "format_avro_ocf": q_format_avro_ocf,
         "format_sdc_record": q_format_sdc_record,
+        "origin_es_scroll": q_origin_es_scroll,
         "lookup_redis_kv": q_lookup_redis_kv,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
@@ -2188,6 +2242,10 @@ def oracle_sql() -> dict[str, str]:
         "lookup_redis_kv": """
             SELECT c_custkey, c_nationkey, n_name AS nation_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "origin_es_scroll": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 200
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

@@ -31,6 +31,7 @@ validation issue codes.
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -253,12 +254,14 @@ class PipelineSpec:
                 "kinesis_origin",
                 "json_spool_origin",
                 "sdc_record_spool_origin",
+                "es_scroll_origin",
             ):
                 req_by_type = {
                     "s3_origin_spool": ("endpoint", "bucket"),
                     "kinesis_origin": ("endpoint", "stream"),
                     "json_spool_origin": ("spool_dir",),
                     "sdc_record_spool_origin": ("spool_dir", "record_schema"),
+                    "es_scroll_origin": ("http_uri", "index", "record_schema"),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -491,6 +494,42 @@ class PipelineSpec:
                 )
                 if not st.get("keep_file_column", False):
                     df = df.drop("_file")
+                _place(st.get("out", "main"), df)
+            elif typ == "es_scroll_origin":
+                from datacollector_spark.sources.elasticsearch import (
+                    EsScrollConfig,
+                    es_scroll_batch,
+                    es_scroll_offsets,
+                )
+
+                es_cfg = EsScrollConfig(
+                    http_uri=st["http_uri"],
+                    index=st["index"],
+                    mapping=st.get("mapping"),
+                    query=st.get("query", '{"query": {"match_all": {}}}'),
+                    num_slices=int(st.get("num_slices", 1)),
+                    max_batch_size=int(st.get("max_batch_size", 1000)),
+                    cursor_timeout=st.get("cursor_timeout", "1m"),
+                    delete_cursor=bool(st.get("delete_cursor", True)),
+                    username=st.get("username"),
+                    password=st.get("password"),
+                    incremental=bool(st.get("incremental", False)),
+                    offset_field=st.get("offset_field", "timestamp"),
+                    initial_offset=st.get("initial_offset", ""),
+                )
+                df = es_scroll_batch(
+                    spark,
+                    es_cfg,
+                    st["record_schema"],
+                    last_offsets=st.get("last_offsets"),
+                )
+                if es_cfg.incremental:
+                    df = df.persist()
+                    self.last_offsets[st["name"]] = json.dumps(
+                        es_scroll_offsets(df, es_cfg.offset_field)
+                    )
+                if not st.get("keep_slice_column", False):
+                    df = df.drop("_slice", "_id")
                 _place(st.get("out", "main"), df)
             elif typ == "redis_lookup":
                 from pyspark.sql import functions as F
@@ -1581,6 +1620,60 @@ class PipelineSpec:
                         "retries_per_batch": conf.get("config.retriesPerBatch", 3),
                         "back_off": conf.get("config.backOff", 0),
                         **ov,
+                    }
+                )
+            elif "ElasticsearchDSource" in klass:
+                # Elasticsearch scroll origin (elasticsearch-protolib/...
+                # /origin/elasticsearch/ElasticsearchSource.java): numSlices
+                # parallel scroll cursors — one executor task per slice
+                # here.  The endpoint rides conf.httpUris (first entry) or
+                # an origin_overrides {'http_uri': ...}; SDC parses JSON
+                # hits dynamically, a columnar plan declares the _source
+                # schema via origin_overrides {'record_schema': ...}.
+                ov = origin_overrides.get(name) or {}
+                uris = conf.get("conf.httpUris") or []
+                http_uri = ov.get("http_uri") or (uris[0] if uris else None)
+                if not http_uri:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Elasticsearch origin "
+                        "needs conf.httpUris (or an origin_overrides "
+                        "http_uri)"
+                    )
+                if not http_uri.startswith("http"):
+                    http_uri = "http://" + http_uri
+                if "record_schema" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Elasticsearch origin "
+                        "needs an origin_overrides entry with "
+                        "'record_schema' (StructType of _source)"
+                    )
+                sec_user = conf.get("conf.securityConfig.securityUser") or ""
+                username = password = None
+                if conf.get("conf.useSecurity") and sec_user:
+                    username, _, password = sec_user.partition(":")
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "es_scroll_origin",
+                        "out": outs[0],
+                        "http_uri": http_uri,
+                        "index": conf.get("conf.index", ""),
+                        "mapping": conf.get("conf.mapping") or None,
+                        "query": conf.get(
+                            "conf.query", '{"query": {"match_all": {}}}'
+                        ),
+                        "num_slices": int(conf.get("conf.numSlices", 1)),
+                        "max_batch_size": int(conf.get("conf.maxBatchSize", 1000)),
+                        "cursor_timeout": conf.get("conf.cursorTimeout", "1m"),
+                        "delete_cursor": bool(conf.get("conf.deleteCursor", True)),
+                        "incremental": bool(
+                            conf.get("conf.isIncrementalMode", False)
+                        ),
+                        "offset_field": conf.get("conf.offsetField", "timestamp"),
+                        "initial_offset": conf.get("conf.initialOffset", ""),
+                        "username": username,
+                        "password": password,
+                        **{k: v for k, v in ov.items() if k != "http_uri"},
                     }
                 )
             elif "RedisLookupDProcessor" in klass:
