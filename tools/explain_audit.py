@@ -408,6 +408,62 @@ def main() -> None:
         )
     )
 
+    # 21) Redis KV lookup: Arrow-batched mapInPandas riding the scan's
+    # partitioning — NO exchange at all (each task MGETs its own keys), no
+    # per-row Python
+    from datacollector_spark.sources.redis import redis_kv_lookup
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "__redis_key",
+            F.concat(F.lit("nation-"), F.col("c_nationkey").cast("string")),
+        )
+    )
+    p = plan_of(redis_kv_lookup(df, "__redis_key", "redis://127.0.0.1:1"))
+    checks.append(
+        (
+            "Redis KV lookup plan",
+            p,
+            [
+                ("Arrow-batched lookup (mapInPandas)", "MapInPandas" in p),
+                ("no exchange (rides the scan partitioning)", "Exchange" not in p),
+                ("only needed columns read",
+                 "ReadSchema: struct<c_custkey:bigint,c_nationkey:int>" in p),
+            ],
+        )
+    )
+
+    # 22) Elasticsearch sliced-scroll origin: the driver ships only slice
+    # ids; each task runs its slice's whole scroll loop — one tiny
+    # slice-id exchange, then MapInPandas does all data movement
+    from pyspark.sql import types as _T
+
+    from datacollector_spark.sources.elasticsearch import (
+        EsScrollConfig,
+        es_scroll_batch,
+    )
+
+    df = es_scroll_batch(
+        spark,
+        EsScrollConfig("http://127.0.0.1:1", "idx", num_slices=8),
+        _T.StructType([_T.StructField("doc_id", _T.LongType())]),
+    )
+    p = plan_of(df)
+    checks.append(
+        (
+            "Elasticsearch sliced-scroll origin plan",
+            p,
+            [
+                ("per-slice scroll loop (mapInPandas)", "MapInPandas" in p),
+                ("only the slice-id exchange",
+                 len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+                ("no per-row Python UDF", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
