@@ -1540,6 +1540,65 @@ def q_origin_es_scroll(spark, sf_dir):
     )
 
 
+def q_origin_rabbitmq(spark, sf_dir):
+    """RabbitMQ round trip over a LIVE in-process broker speaking real
+    AMQP 0-9-1 (tests/amqpfake.py; client = sources/rabbitmq.py, written
+    against the public spec): the first 150 events publish through a
+    fanout exchange from 3 executor partitions (content header + body
+    frames, PLAIN handshake), then FOUR COMPETING consumer tasks
+    basic.get-drain the queue with manual multiple-ack — the reference's
+    RabbitSource manual-ack commit (RabbitSource.java:93-106) fanned out
+    across executors.  Consumption is destructive, so the drained rows are
+    materialized before returning (re-execution stability for the
+    compare)."""
+    import os
+    import sys
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from datacollector_spark.sources.rabbitmq import (
+        RabbitConfig,
+        rabbit_origin_batch,
+        rabbit_target,
+    )
+
+    try:
+        from tests.amqpfake import FakeBroker
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.amqpfake import FakeBroker
+
+    broker = FakeBroker()
+    broker.start()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cfg = RabbitConfig(
+        uri=f"amqp://127.0.0.1:{broker.port}/",
+        queue="events",
+        exchanges=[{"name": "ex.events", "type": "fanout"}],
+    )
+    rows = sorted(
+        _pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        ).to_pylist(),
+        key=lambda r: r["event_id"],
+    )[:150]
+    rabbit_target(
+        spark.createDataFrame(rows, schema).repartition(3), cfg
+    )
+    drained = rabbit_origin_batch(spark, cfg, schema, consumers=4).select(
+        "event_id", "event_type", "value"
+    )
+    return spark.createDataFrame(drained.collect(), drained.schema)
+
+
 def q_lookup_redis_kv(spark, sf_dir):
     """Redis KV lookup over a LIVE loopback RESP2 server: nation names are
     seeded as string keys, then every customer row looks up its nation via
@@ -1806,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_avro_ocf": q_format_avro_ocf,
         "format_sdc_record": q_format_sdc_record,
         "origin_es_scroll": q_origin_es_scroll,
+        "origin_rabbitmq": q_origin_rabbitmq,
         "lookup_redis_kv": q_lookup_redis_kv,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
@@ -2246,6 +2306,10 @@ def oracle_sql() -> dict[str, str]:
         "origin_es_scroll": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_orderkey LIMIT 200
+        """,
+        "origin_rabbitmq": """
+            SELECT event_id, event_type, value
+            FROM events ORDER BY event_id LIMIT 150
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

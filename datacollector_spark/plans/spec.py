@@ -52,6 +52,28 @@ def _origin(spark, cfg, _lanes):
     return reader.format(fmt).load(cfg["path"])
 
 
+def _rabbit_config(st: dict):
+    """Stage dict -> RabbitConfig (shared by the origin and the lazy
+    target writer)."""
+    from datacollector_spark.sources.rabbitmq import RabbitConfig
+
+    return RabbitConfig(
+        uri=st["uri"],
+        username=st.get("username", "guest"),
+        password=st.get("password", "guest"),
+        queue=st.get("queue", ""),
+        queue_durable=bool(st.get("queue_durable", True)),
+        queue_exclusive=bool(st.get("queue_exclusive", False)),
+        queue_auto_delete=bool(st.get("queue_auto_delete", False)),
+        exchanges=list(st.get("exchanges") or []),
+        mandatory=bool(st.get("mandatory", False)),
+        properties=dict(st.get("properties") or {}),
+        single_message_per_batch=bool(
+            st.get("single_message_per_batch", False)
+        ),
+    )
+
+
 def _connector_writer(typ: str, st: dict, src: Any):
     """Build the deferred write closure for a connector destination stage —
     executed by :meth:`PipelineSpec.run_targets`, never during build()."""
@@ -87,6 +109,11 @@ def _connector_writer(typ: str, st: dict, src: Any):
                 st["qualified_table"],
                 st["column_map"],
             )
+    elif typ == "rabbitmq_target":
+        def write():
+            from datacollector_spark.sources.rabbitmq import rabbit_target
+
+            rabbit_target(src, _rabbit_config(st))
     elif typ == "redis_target":
         def write():
             from datacollector_spark.sources.redis import redis_target
@@ -255,6 +282,7 @@ class PipelineSpec:
                 "json_spool_origin",
                 "sdc_record_spool_origin",
                 "es_scroll_origin",
+                "rabbitmq_origin",
             ):
                 req_by_type = {
                     "s3_origin_spool": ("endpoint", "bucket"),
@@ -262,6 +290,7 @@ class PipelineSpec:
                     "json_spool_origin": ("spool_dir",),
                     "sdc_record_spool_origin": ("spool_dir", "record_schema"),
                     "es_scroll_origin": ("http_uri", "index", "record_schema"),
+                    "rabbitmq_origin": ("uri", "queue", "record_schema"),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -284,12 +313,14 @@ class PipelineSpec:
                 "cassandra_target",
                 "sdcipc_target",
                 "redis_target",
+                "rabbitmq_target",
             ):
                 req_by_type = {
                     "solr_target": ("solr_uri", "collection", "field_map"),
                     "cassandra_target": ("contact_point", "qualified_table", "column_map"),
                     "sdcipc_target": ("host_ports", "app_id"),
                     "redis_target": ("uri",),
+                    "rabbitmq_target": ("uri",),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -531,6 +562,20 @@ class PipelineSpec:
                 if not st.get("keep_slice_column", False):
                     df = df.drop("_slice", "_id")
                 _place(st.get("out", "main"), df)
+            elif typ == "rabbitmq_origin":
+                from datacollector_spark.sources.rabbitmq import (
+                    rabbit_origin_batch,
+                )
+
+                df = rabbit_origin_batch(
+                    spark,
+                    _rabbit_config(st),
+                    st["record_schema"],
+                    consumers=int(st.get("consumers", 4)),
+                )
+                if not st.get("keep_delivery_columns", False):
+                    df = df.drop("_delivery_tag", "_routing_key")
+                _place(st.get("out", "main"), df)
             elif typ == "redis_lookup":
                 from pyspark.sql import functions as F
 
@@ -552,6 +597,7 @@ class PipelineSpec:
                 "cassandra_target",
                 "sdcipc_target",
                 "redis_target",
+                "rabbitmq_target",
             ):
                 src = lanes[st["in"]]
                 targets[st["name"]] = src
@@ -1622,6 +1668,79 @@ class PipelineSpec:
                         **ov,
                     }
                 )
+            elif "RabbitDSource" in klass or "RabbitDTarget" in klass:
+                # RabbitMQ origin/target (rabbitmq-lib): conf.uri,
+                # conf.queue.{name,durable,exclusive,autoDelete},
+                # conf.exchanges [{name,type,routingKey,durable,autoDelete}],
+                # conf.credentialsConfig.{username,password}; target adds
+                # conf.mandatory + conf.singleMessagePerBatch.  The broker
+                # endpoint is external — origin/stage overrides supply the
+                # loopback uri in tests; the origin also needs the JSON
+                # record_schema (the reference parses dynamically).
+                is_origin = "DSource" in klass
+                ov = (
+                    origin_overrides.get(name)
+                    if is_origin
+                    else stage_overrides.get(name)
+                ) or {}
+                uri = ov.get("uri") or conf.get("conf.uri")
+                if not uri or uri == "amqp://":
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: RabbitMQ stage needs a "
+                        "non-default 'conf.uri' (or an overrides uri)"
+                    )
+                common = {
+                    "uri": uri,
+                    "queue": conf.get("conf.queue.name", ""),
+                    "queue_durable": conf.get("conf.queue.durable", True),
+                    "queue_exclusive": conf.get("conf.queue.exclusive", False),
+                    "queue_auto_delete": conf.get("conf.queue.autoDelete", False),
+                    "exchanges": [
+                        {
+                            "name": ex.get("name", ""),
+                            "type": str(ex.get("type", "DIRECT")).lower(),
+                            "routingKey": ex.get("routingKey", ""),
+                            "durable": ex.get("durable", True),
+                            "autoDelete": ex.get("autoDelete", False),
+                        }
+                        for ex in (conf.get("conf.exchanges") or [])
+                    ],
+                    "username": conf.get(
+                        "conf.credentialsConfig.username", "guest"
+                    ),
+                    "password": conf.get(
+                        "conf.credentialsConfig.password", "guest"
+                    ),
+                }
+                if is_origin:
+                    if "record_schema" not in ov:
+                        raise ValidationError(
+                            f"VALIDATION_0008: {name}: RabbitMQ origin needs "
+                            "an origin_overrides entry with 'record_schema'"
+                        )
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "rabbitmq_origin",
+                            "out": outs[0],
+                            **common,
+                            **{k: v for k, v in ov.items() if k != "uri"},
+                        }
+                    )
+                else:
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "rabbitmq_target",
+                            "in": ins[0],
+                            "mandatory": conf.get("conf.mandatory", False),
+                            "single_message_per_batch": conf.get(
+                                "conf.singleMessagePerBatch", False
+                            ),
+                            **common,
+                            **{k: v for k, v in ov.items() if k != "uri"},
+                        }
+                    )
             elif "ElasticsearchDSource" in klass:
                 # Elasticsearch scroll origin (elasticsearch-protolib/...
                 # /origin/elasticsearch/ElasticsearchSource.java): numSlices
