@@ -413,21 +413,32 @@ def read_sdc_record_files(
     schema: T.StructType,
     glob: str = "*.sdc",
     with_headers: bool = False,
+    with_error_headers: bool = False,
 ) -> DataFrame:
     """Distributed SDC_RECORD directory read: ``binaryFile`` scan (one task
     per file) → Arrow-batched decode → typed columns.  ``schema`` names the
     columns expected in each record's root LIST_MAP/MAP; ``with_headers``
     additionally surfaces the record header as the ``_record_id`` /
-    ``_record_creator`` metadata columns (the same convention
-    attach_record_headers / the EL shim's record:id() use)."""
+    ``_record_creator`` metadata columns, and ``with_error_headers`` the
+    error-header triple as ``_error_stage`` / ``_error_code`` /
+    ``_error_message`` (the same conventions attach_record_headers /
+    precondition_filter / the EL shim's record:errorCode() use) — so an
+    error archive written by ``write_sdc_record_files`` reads back with
+    its error context intact, like the reference's Write-to-File error
+    records re-ingested by the Directory origin."""
     meta = [T.StructField("_file", T.StringType(), False)]
     if with_headers:
         meta += [
             T.StructField("_record_id", T.StringType(), True),
             T.StructField("_record_creator", T.StringType(), True),
         ]
+    if with_error_headers:
+        meta += [
+            T.StructField("_error_stage", T.StringType(), True),
+            T.StructField("_error_code", T.StringType(), True),
+            T.StructField("_error_message", T.StringType(), True),
+        ]
     out_schema = T.StructType(meta + list(schema.fields))
-    n_meta = len(meta)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -446,6 +457,12 @@ def read_sdc_record_files(
                     head = [fpath]
                     if with_headers:
                         head += [header.get("sourceId"), header.get("stageCreator")]
+                    if with_error_headers:
+                        head += [
+                            header.get("errorStage"),
+                            header.get("errorCode"),
+                            header.get("errorMessage"),
+                        ]
                     rows.append(head + [vals.get(f.name) for f in schema.fields])
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
@@ -453,6 +470,19 @@ def read_sdc_record_files(
 
     raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     return raw.select("path", "content").mapInPandas(run, out_schema)
+
+
+# metadata columns that ride the record HEADER, not the value tree — the
+# write side lifts them out of each row and the read side restores them
+# (HeaderImpl's errorStage/errorCode/errorMessage and sourceId/stageCreator)
+_HEADER_COLUMN_MAP = {
+    "_record_id": "sourceId",
+    "_record_creator": "stageCreator",
+    "_error_stage": "errorStage",
+    "_error_code": "errorCode",
+    "_error_message": "errorMessage",
+    "_error_time": "errorTimestamp",
+}
 
 
 def write_sdc_record_files(
@@ -464,10 +494,20 @@ def write_sdc_record_files(
     """Executor-side SDC_RECORD file write: one ``part-<pid><suffix>`` file
     per partition, each a fresh JSON1 stream (magic byte + lines), written
     straight from the partition's executor — no driver data path, scales
-    with partitions like s3_target."""
+    with partitions like s3_target.
+
+    Metadata columns (``_record_id``/``_record_creator``/``_error_stage``/
+    ``_error_code``/``_error_message``) are lifted into each record's
+    HEADER instead of the value tree — writing a precondition_filter error
+    lane therefore produces exactly the reference's Write-to-File error
+    archive (error context in HeaderImpl, data in the value), re-readable
+    with ``read_sdc_record_files(..., with_error_headers=True)``."""
     import os
 
-    schema = df.schema
+    header_cols = [c for c in df.columns if c in _HEADER_COLUMN_MAP]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in _HEADER_COLUMN_MAP]
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(rows: Iterator) -> None:
@@ -475,15 +515,20 @@ def write_sdc_record_files(
 
         pid = TaskContext.get().partitionId()
         buf: list[dict] = []
-        for r in rows:
-            buf.append(r.asDict(recursive=True))
+        headers: list[dict] = []
+        for i, r in enumerate(rows):
+            d = r.asDict(recursive=True)
+            h = default_header(f"part-{pid:05d}::{i}", stage_creator)
+            for col in header_cols:
+                v = d.pop(col)
+                if v is not None:
+                    key = _HEADER_COLUMN_MAP[col]
+                    h[key] = int(v) if key == "errorTimestamp" else str(v)
+            buf.append(d)
+            headers.append(h)
         if not buf:
             return
         fname = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
-        headers = [
-            default_header(f"part-{pid:05d}::{i}", stage_creator)
-            for i in range(len(buf))
-        ]
         with open(fname, "wb") as f:
             f.write(encode_stream(buf, schema, headers))
 

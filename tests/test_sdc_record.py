@@ -344,3 +344,49 @@ def test_spooldir_config_port_rejects_unported_format(tmp_path):
     }
     with pytest.raises(ValidationError, match="VALIDATION_0006"):
         PipelineSpec.from_sdc_config(config)
+
+
+def test_error_archive_roundtrip(spark, tmp_path):
+    """The reference's Write-to-File error archive: a precondition error
+    lane (data + _error_* metadata columns) writes as SDC_RECORD with the
+    error context in each record's HEADER (HeaderImpl errorStage/errorCode/
+    errorMessage/errorTimestamp), and reads back with the _error_* columns
+    restored — record:errorCode()-style EL keeps working on the re-ingested
+    archive."""
+    import json as _json
+
+    from datacollector_spark.operators.processors import precondition_filter
+
+    df = spark.range(0, 30).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2.0).alias("value")
+    )
+    _ok, err = precondition_filter(df, "value >= 20", stage_name="Pre_01")
+    out = str(tmp_path / "errors")
+    write_sdc_record_files(err, out, stage_creator="Pre_01")
+
+    # on disk: error context lives in the HEADER, not the value tree
+    files = list((tmp_path / "errors").glob("*.sdc"))
+    assert files
+    line = files[0].read_bytes()[1:].splitlines()[0]
+    obj = _json.loads(line)
+    assert obj["header"]["errorStage"] == "Pre_01"
+    assert obj["header"]["errorCode"] == "CONTAINER_0051"
+    assert obj["header"]["errorTimestamp"] > 0
+    value_paths = [c["sqpath"] for c in obj["value"]["value"]]
+    assert value_paths == ["/event_id", "/value"]  # no _error_* in the value
+
+    data_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_sdc_record_files(
+        spark, out, data_schema, with_error_headers=True
+    )
+    rows = back.collect()
+    assert sorted(r["event_id"] for r in rows) == list(range(10))
+    assert all(
+        r["_error_stage"] == "Pre_01" and r["_error_code"] == "CONTAINER_0051"
+        for r in rows
+    )
