@@ -464,6 +464,34 @@ def main() -> None:
         )
     )
 
+    # 23) RabbitMQ competing-consumer origin: driver ships only consumer
+    # ids; each task runs its own connection + basic.get drain loop — one
+    # tiny seed exchange, all message movement inside MapInPandas
+    from datacollector_spark.sources.rabbitmq import (
+        RabbitConfig,
+        rabbit_origin_batch,
+    )
+
+    df = rabbit_origin_batch(
+        spark,
+        RabbitConfig(uri="amqp://127.0.0.1:1/", queue="q"),
+        _T.StructType([_T.StructField("event_id", _T.LongType())]),
+        consumers=8,
+    )
+    p = plan_of(df)
+    checks.append(
+        (
+            "RabbitMQ competing-consumer origin plan",
+            p,
+            [
+                ("per-consumer drain loop (mapInPandas)", "MapInPandas" in p),
+                ("only the consumer-seed exchange",
+                 len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+                ("no per-row Python UDF", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
