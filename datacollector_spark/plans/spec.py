@@ -522,6 +522,7 @@ class PipelineSpec:
                     st["record_schema"],
                     glob=st.get("glob", "*.sdc"),
                     with_headers=st.get("with_headers", False),
+                    with_error_headers=st.get("with_error_headers", False),
                 )
                 if not st.get("keep_file_column", False):
                     df = df.drop("_file")
@@ -556,8 +557,15 @@ class PipelineSpec:
                 )
                 if es_cfg.incremental:
                     df = df.persist()
+                    # merge with the fed-back offsets so quiet slices keep
+                    # theirs; es_scroll_batch accepts this JSON string back
                     self.last_offsets[st["name"]] = json.dumps(
-                        es_scroll_offsets(df, es_cfg.offset_field)
+                        es_scroll_offsets(
+                            df,
+                            es_cfg.offset_field,
+                            cfg=es_cfg,
+                            previous=st.get("last_offsets"),
+                        )
                     )
                 if not st.get("keep_slice_column", False):
                     df = df.drop("_slice", "_id")
@@ -573,6 +581,10 @@ class PipelineSpec:
                     st["record_schema"],
                     consumers=int(st.get("consumers", 4)),
                 )
+                # queue consumption is destructive — persist so a second
+                # action (extra target, preview count) replays the cached
+                # drain instead of re-reading an already-acked empty queue
+                df = df.persist()
                 if not st.get("keep_delivery_columns", False):
                     df = df.drop("_delivery_tag", "_routing_key")
                 _place(st.get("out", "main"), df)

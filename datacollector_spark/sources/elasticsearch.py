@@ -101,6 +101,10 @@ def es_scroll_batch(
         raise ValueError(
             "ELASTICSEARCH_25: incremental mode requires ${offset} in the query"
         )
+    if isinstance(last_offsets, str):
+        # the spec's durable-offset convention is an opaque string
+        # (json.dumps of the per-slice map) — accept it back directly
+        last_offsets = json.loads(last_offsets)
     last_offsets = dict(last_offsets or {})
     if last_offsets and len(last_offsets) != cfg.num_slices:
         raise ValueError(
@@ -184,15 +188,36 @@ def es_scroll_batch(
     return slices.mapInPandas(run, out_schema)
 
 
-def es_scroll_offsets(df: DataFrame, offset_field: str) -> dict[str, str]:
+def es_scroll_offsets(
+    df: DataFrame,
+    offset_field: str,
+    cfg: EsScrollConfig | None = None,
+    previous: dict[str, str] | str | None = None,
+) -> dict[str, str]:
     """Per-slice incremental offsets from a drained batch: the max of the
     offset field per slice (the batch analog of the reference's per-record
     updateTimeOffset), keyed by slice id for the next run's
-    ``last_offsets``."""
+    ``last_offsets``.
+
+    A slice with NO new rows is absent from the groupBy — its offset must
+    CARRY OVER, not vanish (a shrunken map would trip the
+    ELASTICSEARCH_26 slice-count check next run, and an empty one would
+    silently restart every slice from the initial offset).  Pass
+    ``previous`` (the prior run's map, dict or the stored JSON string)
+    and/or ``cfg`` so quiet slices keep their old offset / initial."""
+    if isinstance(previous, str):
+        previous = json.loads(previous)
     rows = df.groupBy("_slice").agg(
         # max over the column's NATIVE type — a string cast first would
         # order "999" above "1000" (the width hazard the Kinesis origin's
         # sequence tracking guards against too)
         F.max(offset_field).alias("_off")
     ).collect()
-    return {str(r["_slice"]): str(r["_off"]) for r in rows}
+    out = dict(previous or {})
+    out.update(
+        {str(r["_slice"]): str(r["_off"]) for r in rows if r["_off"] is not None}
+    )
+    if cfg is not None:
+        for i in range(cfg.num_slices):
+            out.setdefault(str(i), cfg.initial_offset)
+    return out

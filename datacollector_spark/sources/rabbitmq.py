@@ -261,12 +261,22 @@ class RabbitConfig:
 
 
 def parse_amqp_uri(uri: str) -> tuple[str, int, str]:
+    """AMQP URI semantics: the vhost is the RAW path segment, percent-
+    decoded — ``amqp://h/prod`` means vhost ``prod`` (not ``/prod``), an
+    empty path means the default vhost ``/``, and ``amqp://h/%2F`` is an
+    explicit default."""
+    from urllib.parse import unquote
+
     rest = uri.split("://", 1)[-1]
     if "@" in rest:
         rest = rest.split("@", 1)[1]
-    hostport, _, vhost = rest.partition("/")
+    hostport, sep, vhost = rest.partition("/")
     host, _, port = hostport.partition(":")
-    return host or "127.0.0.1", int(port or 5672), ("/" + vhost if vhost else "/")
+    return (
+        host or "127.0.0.1",
+        int(port or 5672),
+        unquote(vhost) if sep and vhost else "/",
+    )
 
 
 class AmqpClient:
@@ -504,6 +514,17 @@ class AmqpClient:
                 return msg
             raise AmqpError(f"unexpected method ({cid},{mid}) for basic.get")
 
+    def basic_qos(self, prefetch_count: int = 0) -> None:
+        """basic.qos → qos-ok — side-effect-free and SYNCHRONOUS, which
+        makes it the channel fence after async publishes: the broker
+        processes channel frames in order, so any basic.return raised by
+        an earlier publish is on the wire (and buffered by _wait_method)
+        before the qos-ok arrives."""
+        self.send_method(
+            1, 60, 10, struct.pack(">IHB", 0, prefetch_count, 0)
+        )
+        self._wait_method((60, 11))
+
     def poll_returns(self, timeout: float = 0.1) -> None:
         """Drain any pending async frames (basic.return notices arrive
         AFTER publishes, unprompted) into ``self.returned``."""
@@ -588,14 +609,20 @@ def rabbit_origin_batch(
     record_schema: T.StructType,
     consumers: int = 4,
     max_records_per_consumer: int | None = None,
+    page_size: int = 5000,
 ) -> DataFrame:
     """Drain the queue once with ``consumers`` COMPETING consumer tasks:
     each executor task opens its own connection/channel, ``basic.get``-loops
     until the queue answers get-empty (or its record cap), parses the JSON
-    bodies against ``record_schema``, then acks its highest deliveryTag
-    with ``multiple=true`` — the reference's manual-ack commit
-    (RabbitSource.commit) per task.  At-least-once: a task crash before
-    the ack redelivers its page."""
+    bodies against ``record_schema``, and acks each PAGE's highest
+    deliveryTag with ``multiple=true`` AFTER yielding it downstream — the
+    reference's manual-ack commit (RabbitSource.commit), per page.  Memory
+    is bounded at ``page_size`` rows per consumer (one Arrow batch per
+    page), and a task crash before a page's ack redelivers that page —
+    at-least-once.
+
+    Consumption is destructive: callers that run more than one action over
+    the result must persist it first (PipelineSpec.build does)."""
     import json as _json
 
     out_fields = [
@@ -613,29 +640,34 @@ def rabbit_origin_batch(
                 client = _connect(cfg)
                 try:
                     declare_topology(client, cfg)
-                    rows = []
+                    rows: list[list] = []
+                    total = 0
                     last_tag = None
-                    while True:
+                    drained = False
+                    while not drained:
                         msg = client.basic_get(cfg.queue, no_ack=False)
                         if msg is None:
-                            break
-                        last_tag = msg["delivery_tag"]
-                        doc = _json.loads(msg["body"].decode("utf-8"))
-                        rows.append(
-                            [last_tag, msg["routing_key"]]
-                            + [doc.get(n) for n in names]
-                        )
-                        if (
-                            max_records_per_consumer
-                            and len(rows) >= max_records_per_consumer
-                        ):
-                            break
-                    if last_tag is not None:
-                        client.basic_ack(last_tag, multiple=True)
-                    if rows:
-                        yield pd.DataFrame(
-                            rows, columns=[f.name for f in out_fields]
-                        ).astype(object)
+                            drained = True
+                        else:
+                            last_tag = msg["delivery_tag"]
+                            doc = _json.loads(msg["body"].decode("utf-8"))
+                            rows.append(
+                                [last_tag, msg["routing_key"]]
+                                + [doc.get(n) for n in names]
+                            )
+                            total += 1
+                            if (
+                                max_records_per_consumer
+                                and total >= max_records_per_consumer
+                            ):
+                                drained = True
+                        if rows and (drained or len(rows) >= page_size):
+                            yield pd.DataFrame(
+                                rows, columns=[f.name for f in out_fields]
+                            ).astype(object)
+                            # ack AFTER the page went downstream
+                            client.basic_ack(last_tag, multiple=True)
+                            rows = []
                 finally:
                     client.close()
 
@@ -683,6 +715,11 @@ def rabbit_target(df: DataFrame, cfg: RabbitConfig) -> None:
                         mandatory=cfg.mandatory,
                     )
             if cfg.mandatory:
+                # deterministic sync point: basic.qos is processed after
+                # every earlier publish on the channel, so its qos-ok
+                # arrives after any basic.return those publishes raised
+                # (buffered by _wait_method); the poll sweeps stragglers
+                client.basic_qos(0)
                 client.poll_returns()
             if client.returned:
                 n = client.returned[0]

@@ -127,16 +127,27 @@ class RespClient:
         return [self.read_reply() for _ in cmds]
 
 
-def parse_redis_uri(uri: str) -> tuple[str, int]:
-    """``redis://host:port`` (the conf.uri form) -> (host, port)."""
+def parse_redis_uri(uri: str) -> tuple[str, int, int]:
+    """``redis://host:port/db`` (the conf.uri form) -> (host, port, db).
+    The path segment is the DATABASE INDEX the reference's Jedis URI
+    selects — dropping it would silently read/write database 0."""
     rest = uri.split("://", 1)[-1]
     if "@" in rest:
         rest = rest.split("@", 1)[1]
-    rest = rest.split("/", 1)[0]
-    if ":" in rest:
-        host, port = rest.rsplit(":", 1)
-        return host, int(port)
-    return rest, 6379
+    hostport, _, path = rest.partition("/")
+    db = int(path) if path.strip().isdigit() else 0
+    if ":" in hostport:
+        host, port = hostport.rsplit(":", 1)
+        return host, int(port), db
+    return hostport, 6379, db
+
+
+def _connect_uri(uri: str) -> RespClient:
+    host, port, db = parse_redis_uri(uri)
+    client = RespClient(host, port)
+    if db:
+        client.command("SELECT", db)
+    return client
 
 
 _LOOKUP_TYPES = {
@@ -159,14 +170,15 @@ def redis_kv_lookup(
     adds ``into`` with the looked-up value for ``key_column``.  STRING
     chunks collapse to one ``MGET`` per *chunk_size* keys; LIST / SET /
     HASH pipeline ``LRANGE 0 -1`` / ``SMEMBERS`` / ``HGETALL``.  Missing
-    keys yield null (the reference's default non-error path).  One
+    STRING keys yield null; missing collection keys yield EMPTY
+    collections — exactly what Redis itself answers (and what Jedis hands
+    the reference's RedisStore).  One
     connection per executor task, keys deduplicated within each Arrow
     batch before hitting the server (the reference fronts Redis with a
     per-batch cache — RedisLookupProcessor uses a guava LoadingCache)."""
     data_type = data_type.upper()
     if data_type not in _LOOKUP_TYPES:
         raise ValueError(f"REDIS_05: unsupported lookup DataType {data_type!r}")
-    host, port = parse_redis_uri(uri)
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(into, _LOOKUP_TYPES[data_type], True)]
     )
@@ -175,7 +187,7 @@ def redis_kv_lookup(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        client = RespClient(host, port)
+        client = _connect_uri(uri)
         try:
             for pdf in batches:
                 keys = pdf[key_column].astype(object)
@@ -196,13 +208,15 @@ def redis_kv_lookup(
                         for k, rep in zip(chunk, replies):
                             if isinstance(rep, RespError):
                                 raise rep
+                            # keep empty collections AS empties — Redis
+                            # answers HGETALL/LRANGE/SMEMBERS on a missing
+                            # key with an empty reply, and Jedis (the
+                            # reference'"'"'s client) surfaces exactly that
                             if data_type == "HASH":
-                                rep = (
-                                    dict(zip(rep[::2], rep[1::2])) if rep else None
-                                )
-                            elif data_type == "SET" and rep:
+                                rep = dict(zip(rep[::2], rep[1::2]))
+                            elif data_type == "SET":
                                 rep = sorted(rep)
-                            found[k] = rep or None
+                            found[k] = rep
                 out = pdf[in_cols].copy()
                 out[into] = keys.map(lambda k: found.get(k))
                 yield out
@@ -233,13 +247,12 @@ def redis_target(
         raise ValueError("REDIS_04: redisFieldMapping is required for Batch Mode")
     if mode == "PUBLISH" and not channel:
         raise ValueError("REDIS_03: channel is required for Publish Mode")
-    host, port = parse_redis_uri(uri)
     columns = [f.name for f in df.schema.fields]
 
     def write_partition(rows: Iterator) -> None:
         import json as _json
 
-        client = RespClient(host, port)
+        client = _connect_uri(uri)
         pending: list[tuple[list, str]] = []  # (command, key) for validation
 
         def flush() -> None:

@@ -362,7 +362,11 @@ def decode_stream(data: bytes) -> list[tuple[dict, tuple[str, Any] | None]]:
     if magic != MAGIC_JSON1:
         raise ValueError(f"Unsupported magic number '0x{magic:X}'")
     out = []
-    for line in data[1:].decode("utf-8").splitlines():
+    # split on '\n' ONLY — the JsonRecordWriter contract is one raw \n per
+    # record; str.splitlines() would also split on U+2028/U+2029/U+0085,
+    # which json.dumps(ensure_ascii=False) legally leaves unescaped inside
+    # string values
+    for line in data[1:].decode("utf-8").split("\n"):
         if not line.strip():
             continue
         obj = json.loads(line, parse_float=decimal.Decimal)

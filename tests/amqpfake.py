@@ -274,6 +274,8 @@ class FakeBroker:
                                     + struct.pack(">I", remaining),
                                 )
                                 self._deliver_content(ch, props_raw, body)
+                        elif (cid, mid) == (60, 10):  # basic.qos (fence)
+                            self._send_method(ch, 60, 11)
                         elif (cid, mid) == (60, 80):  # basic.ack
                             tag = r.longlong()
                             multiple = bool(r.octet() & 0x01)

@@ -32,6 +32,9 @@ class FakeRedis:
             self.commands.append(args)
             if cmd == "PING":
                 return "+PONG"
+            if cmd == "SELECT":
+                self.selected_db = int(args[1])
+                return "+OK"
             if cmd == "SET":
                 self.strings[args[1]] = args[2]
                 return "+OK"

@@ -119,6 +119,11 @@ def test_incremental_offset_resume(spark):
         df2 = es_scroll_batch(spark, cfg, SCHEMA, last_offsets=offs)
         got = sorted(r["doc_id"] for r in df2.collect())
         assert got == list(range(20, 27))
+        # a slice that saw NO new rows keeps its previous offset (it is
+        # absent from the drained groupBy - carry-over, not loss)
+        empty = es_scroll_batch(spark, cfg, SCHEMA, last_offsets=offs)
+        offs2 = es_scroll_offsets(empty.limit(0), "seq", cfg=cfg, previous=offs)
+        assert offs2 == offs
         # a slice-count change with stored offsets refuses (ELASTICSEARCH_26)
         cfg4 = EsScrollConfig(
             f"http://127.0.0.1:{fake.port}",

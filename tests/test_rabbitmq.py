@@ -66,9 +66,23 @@ def test_basic_properties_flags_pinned():
 
 
 def test_parse_amqp_uri():
-    assert parse_amqp_uri("amqp://h:5673/vh") == ("h", 5673, "/vh")
+    # AMQP URI spec: vhost is the raw path segment (amqp://h/prod -> vhost
+    # "prod"), empty path -> default "/", %2F decodes to an explicit "/"
+    assert parse_amqp_uri("amqp://h:5673/vh") == ("h", 5673, "vh")
     assert parse_amqp_uri("amqp://user:pw@h") == ("h", 5672, "/")
     assert parse_amqp_uri("amqp://h") == ("h", 5672, "/")
+    assert parse_amqp_uri("amqp://h/%2F") == ("h", 5672, "/")
+
+
+def test_named_vhost_connects(spark):
+    b = FakeBroker(vhost="prod")
+    b.start()
+    try:
+        c = AmqpClient("127.0.0.1", b.port, vhost="prod")
+        c.queue_declare("q")
+        c.close()
+    finally:
+        b.stop()
 
 
 def test_topic_pattern_match():

@@ -65,9 +65,17 @@ def test_resp_client_typed_replies_and_pipeline(fake):
 
 
 def test_parse_redis_uri():
-    assert parse_redis_uri("redis://localhost:6379/0") == ("localhost", 6379)
-    assert parse_redis_uri("redis://:password@h:7000/0") == ("h", 7000)
-    assert parse_redis_uri("redis://h") == ("h", 6379)
+    assert parse_redis_uri("redis://localhost:6379/0") == ("localhost", 6379, 0)
+    assert parse_redis_uri("redis://:password@h:7000/2") == ("h", 7000, 2)
+    assert parse_redis_uri("redis://h") == ("h", 6379, 0)
+
+
+def test_db_index_selected(spark, fake):
+    from datacollector_spark.sources.redis import _connect_uri
+
+    c = _connect_uri(f"redis://127.0.0.1:{fake.port}/3")
+    c.close()
+    assert fake.selected_db == 3
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +106,8 @@ def test_hash_list_set_lookups(spark, fake):
     h = {r["k"]: r["v"] for r in redis_kv_lookup(
         df, "k", f"redis://127.0.0.1:{fake.port}", into="v", data_type="HASH"
     ).collect()}
-    assert h["h1"] == {"name": "ann", "age": "7"} and h["nope"] is None
+    # missing collection keys answer EMPTY (Redis semantics), not null
+    assert h["h1"] == {"name": "ann", "age": "7"} and h["nope"] == {}
     ldf = spark.createDataFrame([("l1",)], ["k"])
     assert redis_kv_lookup(
         ldf, "k", f"redis://127.0.0.1:{fake.port}", into="v", data_type="LIST"

@@ -390,3 +390,15 @@ def test_error_archive_roundtrip(spark, tmp_path):
         r["_error_stage"] == "Pre_01" and r["_error_code"] == "CONTAINER_0051"
         for r in rows
     )
+
+
+
+def test_unicode_line_separators_roundtrip():
+    """U+2028/U+2029/U+0085 are legal UNESCAPED inside JSON strings
+    (json.dumps with ensure_ascii=False leaves them raw) - the stream
+    splitter must split on the writer's raw newline ONLY, never on them."""
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    rows = [{"text": "a\u2028b\u2029c\u0085d"}, {"text": "plain"}]
+    decoded = decode_stream(encode_stream(rows, schema))
+    assert len(decoded) == 2
+    assert decoded[0][1][1]["text"] == ("STRING", "a\u2028b\u2029c\u0085d")
