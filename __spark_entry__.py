@@ -1599,6 +1599,69 @@ def q_origin_rabbitmq(spark, sf_dir):
     return spark.createDataFrame(drained.collect(), drained.schema)
 
 
+def q_origin_salesforce_bulk(spark, sf_dir):
+    """Salesforce Bulk-API origin over a LIVE loopback endpoint running the
+    real protocol (sources/salesforce.py — SOAP login envelope, XML
+    job/batch lifecycle with the X-SFDC-Session header, Sforce-Enable-
+    PKChunking): the first 180 orders are indexed as sobject rows, the
+    PK-chunked query yields 4 server-split batches, and each (batch,
+    result) pair's CSV is fetched by its own executor task — the
+    reference's serial drain (ForceSource.bulkProduce) made
+    embarrassingly parallel.  Oracle = the same 180 orders from
+    parquet."""
+    import os
+    import sys
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from datacollector_spark.sources.salesforce import (
+        ForceConfig,
+        force_bulk_query,
+    )
+
+    try:
+        from tests.sffake import FakeSalesforce
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.sffake import FakeSalesforce
+
+    rows = sorted(
+        _pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).to_pylist(),
+        key=lambda r: r["o_orderkey"],
+    )[:180]
+    docs = [{"Id": f"{r['o_orderkey']:015d}", **r} for r in rows]
+    fake = FakeSalesforce(docs)
+    fake.start()
+    cfg = ForceConfig(
+        login_url=f"http://127.0.0.1:{fake.port}",
+        username=fake.username,
+        password=fake.password,
+        soql_query=(
+            "SELECT Id,o_orderkey,o_custkey,o_totalprice FROM Orders "
+            "WHERE Id > '${offset}' ORDER BY Id"
+        ),
+        pk_chunk_size=50,
+        # orderkey 0 exists, and its Id equals Salesforce's all-zero null
+        # id (the ForceConfig default initial offset) — start strictly
+        # below every real id instead
+        initial_offset="",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    return force_bulk_query(spark, cfg, schema).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 def q_lookup_redis_kv(spark, sf_dir):
     """Redis KV lookup over a LIVE loopback RESP2 server: nation names are
     seeded as string keys, then every customer row looks up its nation via
@@ -1866,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_sdc_record": q_format_sdc_record,
         "origin_es_scroll": q_origin_es_scroll,
         "origin_rabbitmq": q_origin_rabbitmq,
+        "origin_salesforce_bulk": q_origin_salesforce_bulk,
         "lookup_redis_kv": q_lookup_redis_kv,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
@@ -2310,6 +2374,10 @@ def oracle_sql() -> dict[str, str]:
         "origin_rabbitmq": """
             SELECT event_id, event_type, value
             FROM events ORDER BY event_id LIMIT 150
+        """,
+        "origin_salesforce_bulk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 180
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

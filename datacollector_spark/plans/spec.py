@@ -283,6 +283,7 @@ class PipelineSpec:
                 "sdc_record_spool_origin",
                 "es_scroll_origin",
                 "rabbitmq_origin",
+                "force_bulk_origin",
             ):
                 req_by_type = {
                     "s3_origin_spool": ("endpoint", "bucket"),
@@ -291,6 +292,11 @@ class PipelineSpec:
                     "sdc_record_spool_origin": ("spool_dir", "record_schema"),
                     "es_scroll_origin": ("http_uri", "index", "record_schema"),
                     "rabbitmq_origin": ("uri", "queue", "record_schema"),
+                    "force_bulk_origin": (
+                        "login_url",
+                        "soql_query",
+                        "record_schema",
+                    ),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -569,6 +575,33 @@ class PipelineSpec:
                     )
                 if not st.get("keep_slice_column", False):
                     df = df.drop("_slice", "_id")
+                _place(st.get("out", "main"), df)
+            elif typ == "force_bulk_origin":
+                from datacollector_spark.sources.salesforce import (
+                    ForceConfig,
+                    force_bulk_query,
+                    force_next_offset,
+                )
+
+                f_cfg = ForceConfig(
+                    login_url=st["login_url"],
+                    username=st.get("username", ""),
+                    password=st.get("password", ""),
+                    api_version=st.get("api_version", "52.0"),
+                    soql_query=st["soql_query"],
+                    initial_offset=st.get("initial_offset", "000000000000000"),
+                    offset_column=st.get("offset_column", "Id"),
+                    pk_chunk_size=st.get("pk_chunk_size"),
+                )
+                df = force_bulk_query(
+                    spark,
+                    f_cfg,
+                    st["record_schema"],
+                    last_offset=st.get("last_offset"),
+                ).persist()
+                nxt = force_next_offset(df, f_cfg.offset_column)
+                if nxt is not None:
+                    self.last_offsets[st["name"]] = str(nxt)
                 _place(st.get("out", "main"), df)
             elif typ == "rabbitmq_origin":
                 from datacollector_spark.sources.rabbitmq import (
@@ -1678,6 +1711,65 @@ class PipelineSpec:
                         "retries_per_batch": conf.get("config.retriesPerBatch", 3),
                         "back_off": conf.get("config.backOff", 0),
                         **ov,
+                    }
+                )
+            elif "ForceDSource" in klass:
+                # Salesforce origin (salesforce-lib ForceDSource:
+                # forceConfig.{username,password,authEndpoint,apiVersion,
+                # soqlQuery,offsetColumn,initialOffset,useBulkAPI}).  Only
+                # the Bulk path is columnar-portable; the SOAP row API and
+                # the streaming (CometD) subscription raise by name.  The
+                # login endpoint is external — origin_overrides supplies
+                # the loopback 'login_url' in tests (the export's
+                # authEndpoint is honored, scheme-prefixed); the origin
+                # also needs the record_schema of the selected columns.
+                ov = origin_overrides.get(name) or {}
+                if not conf.get("forceConfig.useBulkAPI", True):
+                    raise ValidationError(
+                        f"VALIDATION_0006: {name}: only the Bulk API "
+                        "path is config-portable (useBulkAPI=false is "
+                        "the SOAP row API)"
+                    )
+                if conf.get("forceConfig.subscribeToStreaming"):
+                    raise ValidationError(
+                        f"VALIDATION_0006: {name}: the CometD streaming "
+                        "subscription is not portable"
+                    )
+                login_url = ov.get("login_url") or conf.get(
+                    "forceConfig.authEndpoint"
+                )
+                if not login_url:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Salesforce origin needs "
+                        "forceConfig.authEndpoint (or an origin_overrides "
+                        "login_url)"
+                    )
+                if not login_url.startswith("http"):
+                    login_url = "https://" + login_url
+                if "record_schema" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: Salesforce origin needs "
+                        "an origin_overrides entry with 'record_schema'"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "force_bulk_origin",
+                        "out": outs[0],
+                        "login_url": login_url,
+                        "username": conf.get("forceConfig.username", ""),
+                        "password": conf.get("forceConfig.password", ""),
+                        "api_version": str(
+                            conf.get("forceConfig.apiVersion", "52.0")
+                        ),
+                        "soql_query": conf.get("forceConfig.soqlQuery", ""),
+                        "offset_column": conf.get(
+                            "forceConfig.offsetColumn", "Id"
+                        ),
+                        "initial_offset": conf.get(
+                            "forceConfig.initialOffset", "000000000000000"
+                        ),
+                        **{k: v for k, v in ov.items() if k != "login_url"},
                     }
                 )
             elif "RabbitDSource" in klass or "RabbitDTarget" in klass:
