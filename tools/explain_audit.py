@@ -492,6 +492,33 @@ def main() -> None:
         )
     )
 
+    # 24) Salesforce Bulk origin: driver polls the job; each PK-chunk
+    # (batch, result) pair's CSV is fetched by its own task — seed pairs
+    # repartitioned once, all data movement inside MapInPandas.  The
+    # endpoint is unreachable here, so build the executor-side plan shape
+    # directly (same seed-frame + mapInPandas construction as the origin).
+    sf_seeds = spark.createDataFrame(
+        [(f"b{i}", f"r{i}") for i in range(6)], "_batch string, _result string"
+    ).repartition(6)
+    sf_schema = _T.StructType([_T.StructField("Id", _T.StringType())])
+
+    def _noop(batches):
+        yield from batches
+
+    p = plan_of(sf_seeds.mapInPandas(_noop, sf_schema))
+    checks.append(
+        (
+            "Salesforce Bulk origin plan (PK-chunk fan-out shape)",
+            p,
+            [
+                ("per-chunk CSV fetch (mapInPandas)", "MapInPandas" in p),
+                ("only the chunk-seed exchange",
+                 len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+                ("no per-row Python UDF", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
