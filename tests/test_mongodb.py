@@ -1,0 +1,207 @@
+"""MongoDB connector: BSON codec pinned to the spec's published bytes,
+OP_MSG client round-trip, range-partitioned origin with durable offset
+resume, and the op-code-aware destination (MongoDBTarget.java semantics)
+against the loopback fake mongod."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from datacollector_spark.model import OP_DELETE, OP_INSERT, OP_UPSERT
+from datacollector_spark.sources.mongodb import (
+    MongoSourceConfig,
+    MongoTargetConfig,
+    MongoWireClient,
+    ObjectId,
+    bson_decode,
+    bson_encode,
+    mongodb_next_offset,
+    mongodb_read_batch,
+    mongodb_write,
+)
+from tests.mongofake import FakeMongod
+
+
+# ------------------------------------------------------------------- codec
+
+
+def test_bson_spec_pinned_bytes():
+    """The two example documents published in the BSON spec (bsonspec.org
+    §Specification, 'the following BSON examples') — byte-for-byte."""
+    hello = b"\x16\x00\x00\x00\x02hello\x00\x06\x00\x00\x00world\x00\x00"
+    assert bson_encode({"hello": "world"}) == hello
+    assert bson_decode(hello) == {"hello": "world"}
+
+    awesome = (
+        b"1\x00\x00\x00\x04BSON\x00&\x00\x00\x00\x020\x00\x08\x00\x00\x00"
+        b"awesome\x00\x011\x00333333\x14@\x102\x00\xc2\x07\x00\x00\x00\x00"
+    )
+    assert bson_encode({"BSON": ["awesome", 5.05, 1986]}) == awesome
+    assert bson_decode(awesome) == {"BSON": ["awesome", 5.05, 1986]}
+
+
+def test_bson_roundtrip_types():
+    oid = ObjectId("6563e1f2a9b8c7d6e5f40312")
+    doc = {
+        "_id": oid,
+        "s": "héllo",
+        "i32": 42,
+        "i64": 2**40,
+        "f": 3.25,
+        "b": True,
+        "none": None,
+        "bin": b"\x00\x01\xff",
+        "ts": dt.datetime(2026, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc),
+        "nested": {"a": [1, "two", None]},
+    }
+    out = bson_decode(bson_encode(doc))
+    assert out == doc
+    assert isinstance(out["_id"], ObjectId) and str(out["_id"]) == str(oid)
+
+
+def test_objectid_ordering_and_hex():
+    a, b = ObjectId(), ObjectId()
+    assert a < b and str(a) < str(b)  # hex order == byte order
+    assert ObjectId(str(a)) == a
+
+
+# ----------------------------------------------------------- wire + origin
+
+
+@pytest.fixture()
+def mongod():
+    srv = FakeMongod()
+    yield srv
+    srv.close()
+
+
+def test_wire_client_crud_roundtrip(mongod):
+    cli = MongoWireClient("127.0.0.1", mongod.port)
+    try:
+        cli.command("db", {"insert": "c", "documents": [{"_id": 1, "v": "a"}]})
+        cli.command(
+            "db",
+            {
+                "update": "c",
+                "updates": [{"q": {"_id": 1}, "u": {"_id": 1, "v": "b"}, "upsert": True}],
+            },
+        )
+        rows = list(cli.find_iter("db", "c", {}, batch_size=10))
+        assert rows == [{"_id": 1, "v": "b"}]
+        cli.command("db", {"delete": "c", "deletes": [{"q": {"_id": 1}, "limit": 1}]})
+        assert list(cli.find_iter("db", "c", {})) == []
+    finally:
+        cli.close()
+
+
+def test_origin_parallel_scan_and_resume(spark, mongod):
+    """120 docs with string offsets drain in offset order across 4 range
+    partitions; a second drain from the durable offset reads only the
+    delta (MongoDBSource.java produce/prepareCursor)."""
+    docs = [{"k": f"k{i:04d}", "v": i} for i in range(120)]
+    mongod.seed("db", "events", docs)
+
+    cfg = MongoSourceConfig(
+        "127.0.0.1",
+        mongod.port,
+        "db",
+        "events",
+        offset_field="k",
+        offset_type="STRING",
+        batch_size=25,
+        num_partitions=4,
+    )
+    schema = "k string, v long"
+    from pyspark.sql.types import StructType
+
+    schema_t = spark.createDataFrame([], schema).schema
+    df = mongodb_read_batch(spark, cfg, schema_t)
+    got = [r["k"] for r in df.orderBy("k").collect()]
+    assert got == [f"k{i:04d}" for i in range(120)]
+    off = mongodb_next_offset(df, cfg)
+    assert off == "k0119"
+
+    mongod.seed("db", "events", [{"k": f"k{i:04d}", "v": i} for i in range(120, 150)])
+    delta = mongodb_read_batch(spark, cfg, schema_t, last_offset=off)
+    ks = [r["k"] for r in delta.orderBy("k").collect()]
+    assert ks == [f"k{i:04d}" for i in range(120, 150)]
+    # the fan-out really was a range scan: >1 find against the server
+    assert mongod.commands_seen.count("find") >= 4
+
+
+def test_origin_objectid_mode_requires_initial_offset(spark, mongod):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cfg = MongoSourceConfig("127.0.0.1", mongod.port, "db", "c")
+    with pytest.raises(ValueError, match="MONGODB_19"):
+        mongodb_read_batch(
+            spark, cfg, StructType([StructField("_id", StringType())])
+        )
+
+
+def test_origin_objectid_offsets_roundtrip(spark, mongod):
+    ids = [ObjectId() for _ in range(30)]
+    mongod.seed("db", "c", [{"_id": oid, "n": i} for i, oid in enumerate(ids)])
+    lo = ObjectId(bytes(12))  # all-zero id sorts before everything
+    cfg = MongoSourceConfig(
+        "127.0.0.1",
+        mongod.port,
+        "db",
+        "c",
+        offset_field="_id",
+        offset_type="OBJECTID",
+        initial_offset=str(lo),
+        num_partitions=3,
+    )
+    schema_t = spark.createDataFrame([], "_id string, n long").schema
+    df = mongodb_read_batch(spark, cfg, schema_t)
+    rows = df.orderBy("_id").collect()
+    assert [r["_id"] for r in rows] == sorted(str(i) for i in ids)
+    assert mongodb_next_offset(df, cfg) == str(max(ids))
+
+
+# -------------------------------------------------------------- destination
+
+
+def test_target_opcode_apply(spark, mongod):
+    """INSERT/UPSERT/DELETE honor sdc.operation.type; unknown and null ops
+    count as error records (MONGODB_14/15); final store state checks out."""
+    rows = [
+        ("a", 1, OP_INSERT),
+        ("b", 2, OP_INSERT),
+        ("a", 10, OP_UPSERT),   # replaces a
+        ("c", 3, OP_UPSERT),    # upserts new
+        ("b", 2, OP_DELETE),    # deletes b (full-doc filter)
+        ("z", 9, 99),           # MONGODB_14 unknown op
+        ("y", 8, None),         # MONGODB_15 missing op
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, sdc_op int").coalesce(1)
+    cfg = MongoTargetConfig(
+        "127.0.0.1", mongod.port, "db", "out", unique_key_field="k"
+    )
+    meters = mongodb_write(df, cfg).collect()
+    agg = {
+        m: sum(r[m] for r in meters)
+        for m in ("inserted", "upserted", "deleted", "errors")
+    }
+    assert agg == {"inserted": 2, "upserted": 2, "deleted": 1, "errors": 2}
+    final = {d["k"]: d["v"] for d in mongod.docs("db", "out")}
+    assert final == {"a": 10, "c": 3}
+
+
+def test_target_validates_columns(spark, mongod):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="MONGODB_15"):
+        mongodb_write(
+            df, MongoTargetConfig("127.0.0.1", mongod.port, "db", "c")
+        )
+    df2 = df.withColumn("sdc_op", df.v.cast("int"))
+    with pytest.raises(ValueError, match="MONGODB_18"):
+        mongodb_write(
+            df2,
+            MongoTargetConfig(
+                "127.0.0.1", mongod.port, "db", "c", unique_key_field="missing"
+            ),
+        )
