@@ -1662,6 +1662,151 @@ def q_origin_salesforce_bulk(spark, sf_dir):
     )
 
 
+def q_origin_mongodb(spark, sf_dir):
+    """MongoDB origin over a LIVE loopback mongod speaking real OP_MSG +
+    BSON (tests/mongofake.py; client = sources/mongodb.py, codec pinned to
+    the BSON spec's published bytes): 100 customers are seeded, range-
+    partitioned across 4 executor tasks (driver probes only P-1 split
+    VALUES — MongoDBSource.java prepareCursor made parallel), then 60 more
+    land and a second drain RESUMES from the durable max-offset string —
+    the union is the oracle's first 160."""
+    import os
+    import sys
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from datacollector_spark.sources.mongodb import (
+        MongoSourceConfig,
+        mongodb_next_offset,
+        mongodb_read_batch,
+    )
+
+    try:
+        from tests.mongofake import FakeMongod
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.mongofake import FakeMongod
+
+    rows = sorted(
+        _pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal"],
+        ).to_pylist(),
+        key=lambda r: r["c_custkey"],
+    )[:160]
+    docs = [
+        {"ck": f"{r['c_custkey']:09d}", "c_name": r["c_name"],
+         "c_acctbal": r["c_acctbal"]}
+        for r in rows
+    ]
+    srv = FakeMongod()
+    try:
+        srv.seed("gate", "customers", docs[:100])
+        cfg = MongoSourceConfig(
+            "127.0.0.1", srv.port, "gate", "customers",
+            offset_field="ck", offset_type="STRING",
+            batch_size=30, num_partitions=4,
+        )
+        schema = T.StructType(
+            [
+                T.StructField("ck", T.StringType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        first = mongodb_read_batch(spark, cfg, schema)
+        off = mongodb_next_offset(first, cfg)
+        collected = first.collect()
+        srv.seed("gate", "customers", docs[100:])
+        delta = mongodb_read_batch(spark, cfg, schema, last_offset=off)
+        collected += delta.collect()
+        return spark.createDataFrame(collected, schema)
+    finally:
+        srv.close()
+
+
+def q_sink_mongodb_cdc(spark, sf_dir):
+    """MongoDB op-code-aware destination round trip
+    (MongoDBTarget.java:120-212): an ordered CDC tape — INSERT the first
+    120 customers, UPSERT the first 60 with doubled balances, DELETE the
+    first 30 (full-document filters, carrying the post-upsert image) —
+    applies through the ordered bulk wire commands; the surviving state is
+    read BACK through the range-partitioned origin and must equal the
+    oracle's replay: rows 31-120, balance doubled up to row 60."""
+    import os
+    import sys
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    from datacollector_spark.model import OP_DELETE, OP_INSERT, OP_UPSERT
+    from datacollector_spark.sources.mongodb import (
+        MongoSourceConfig,
+        MongoTargetConfig,
+        mongodb_read_batch,
+        mongodb_write,
+    )
+
+    try:
+        from tests.mongofake import FakeMongod
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.mongofake import FakeMongod
+
+    rows = sorted(
+        _pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal"],
+        ).to_pylist(),
+        key=lambda r: r["c_custkey"],
+    )[:120]
+    tape = []
+    for r in rows:
+        tape.append((f"{r['c_custkey']:09d}", r["c_name"], r["c_acctbal"], OP_INSERT))
+    for r in rows[:60]:
+        tape.append(
+            (f"{r['c_custkey']:09d}", r["c_name"], r["c_acctbal"] * 2, OP_UPSERT)
+        )
+    for r in rows[:30]:
+        tape.append(
+            (f"{r['c_custkey']:09d}", r["c_name"], r["c_acctbal"] * 2, OP_DELETE)
+        )
+    seq = [(i, *t) for i, t in enumerate(tape)]
+    srv = FakeMongod()
+    try:
+        df = (
+            spark.createDataFrame(
+                seq, "seq long, ck string, c_name string, bal double, sdc_op int"
+            )
+            # one ordered partition: the reference applies a batch as ONE
+            # ordered bulkWrite; cross-partition tapes pre-collapse per key
+            .coalesce(1)
+            .sortWithinPartitions("seq")
+            .drop("seq")
+        )
+        tcfg = MongoTargetConfig(
+            "127.0.0.1", srv.port, "gate", "state", unique_key_field="ck"
+        )
+        meters = mongodb_write(df, tcfg).collect()
+        assert sum(m["errors"] for m in meters) == 0
+        scfg = MongoSourceConfig(
+            "127.0.0.1", srv.port, "gate", "state",
+            offset_field="ck", offset_type="STRING", num_partitions=3,
+        )
+        schema = T.StructType(
+            [
+                T.StructField("ck", T.StringType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("bal", T.DoubleType()),
+            ]
+        )
+        final = mongodb_read_batch(spark, scfg, schema)
+        return spark.createDataFrame(final.collect(), schema)
+    finally:
+        srv.close()
+
+
 def q_lookup_redis_kv(spark, sf_dir):
     """Redis KV lookup over a LIVE loopback RESP2 server: nation names are
     seeded as string keys, then every customer row looks up its nation via
@@ -1930,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "origin_es_scroll": q_origin_es_scroll,
         "origin_rabbitmq": q_origin_rabbitmq,
         "origin_salesforce_bulk": q_origin_salesforce_bulk,
+        "origin_mongodb": q_origin_mongodb,
+        "sink_mongodb_cdc": q_sink_mongodb_cdc,
         "lookup_redis_kv": q_lookup_redis_kv,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
@@ -2378,6 +2525,23 @@ def oracle_sql() -> dict[str, str]:
         "origin_salesforce_bulk": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_orderkey LIMIT 180
+        """,
+        "origin_mongodb": """
+            SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS ck,
+                   c_name, c_acctbal
+            FROM customer ORDER BY c_custkey LIMIT 160
+        """,
+        "sink_mongodb_cdc": """
+            WITH c AS (
+                SELECT c_custkey, c_name, c_acctbal,
+                       row_number() OVER (ORDER BY c_custkey) AS rn
+                FROM customer ORDER BY c_custkey LIMIT 120
+            )
+            SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS ck,
+                   c_name,
+                   CASE WHEN rn <= 60 THEN c_acctbal * 2
+                        ELSE c_acctbal END AS bal
+            FROM c WHERE rn > 30
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

@@ -114,6 +114,29 @@ def _connector_writer(typ: str, st: dict, src: Any):
             from datacollector_spark.sources.rabbitmq import rabbit_target
 
             rabbit_target(src, _rabbit_config(st))
+    elif typ == "mongodb_target":
+        def write():
+            from datacollector_spark.sources.mongodb import (
+                MongoTargetConfig,
+                mongodb_write,
+            )
+
+            meters = mongodb_write(
+                src,
+                MongoTargetConfig(
+                    st["host"],
+                    int(st["port"]),
+                    st["database"],
+                    st["collection"],
+                    unique_key_field=st.get("unique_key_field", "_id"),
+                    op_column=st.get("op_column", "sdc_op"),
+                    max_batch=int(st.get("max_batch", 1000)),
+                ),
+            ).collect()
+            return {
+                m: sum(r[m] for r in meters)
+                for m in ("inserted", "upserted", "deleted", "errors")
+            }
     elif typ == "redis_target":
         def write():
             from datacollector_spark.sources.redis import redis_target
@@ -284,6 +307,7 @@ class PipelineSpec:
                 "es_scroll_origin",
                 "rabbitmq_origin",
                 "force_bulk_origin",
+                "mongodb_origin",
             ):
                 req_by_type = {
                     "s3_origin_spool": ("endpoint", "bucket"),
@@ -295,6 +319,13 @@ class PipelineSpec:
                     "force_bulk_origin": (
                         "login_url",
                         "soql_query",
+                        "record_schema",
+                    ),
+                    "mongodb_origin": (
+                        "host",
+                        "port",
+                        "database",
+                        "collection",
                         "record_schema",
                     ),
                 }
@@ -320,6 +351,7 @@ class PipelineSpec:
                 "sdcipc_target",
                 "redis_target",
                 "rabbitmq_target",
+                "mongodb_target",
             ):
                 req_by_type = {
                     "solr_target": ("solr_uri", "collection", "field_map"),
@@ -327,6 +359,7 @@ class PipelineSpec:
                     "sdcipc_target": ("host_ports", "app_id"),
                     "redis_target": ("uri",),
                     "rabbitmq_target": ("uri",),
+                    "mongodb_target": ("host", "port", "database", "collection"),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -637,12 +670,39 @@ class PipelineSpec:
                         data_type=lk.get("data_type", "STRING"),
                     ).drop("__redis_key")
                 _place(st.get("out", "main"), df)
+            elif typ == "mongodb_origin":
+                from datacollector_spark.sources.mongodb import (
+                    MongoSourceConfig,
+                    mongodb_read_batch,
+                )
+
+                mg_cfg = MongoSourceConfig(
+                    st["host"],
+                    int(st["port"]),
+                    st["database"],
+                    st["collection"],
+                    offset_field=st.get("offset_field", "_id"),
+                    offset_type=st.get("offset_type", "OBJECTID"),
+                    initial_offset=st.get("initial_offset", ""),
+                    batch_size=int(st.get("batch_size", 1000)),
+                    num_partitions=int(st.get("num_partitions", 4)),
+                )
+                _place(
+                    st.get("out", "main"),
+                    mongodb_read_batch(
+                        spark,
+                        mg_cfg,
+                        st["record_schema"],
+                        last_offset=st.get("last_offset"),
+                    ),
+                )
             elif typ in (
                 "solr_target",
                 "cassandra_target",
                 "sdcipc_target",
                 "redis_target",
                 "rabbitmq_target",
+                "mongodb_target",
             ):
                 src = lanes[st["in"]]
                 targets[st["name"]] = src
@@ -1969,6 +2029,101 @@ class PipelineSpec:
                         ],
                         "channel": channels[0] if channels else None,
                         **{k: v for k, v in ov.items() if k != "uri"},
+                    }
+                )
+            elif "MongoDBDSource" in klass:
+                # MongoDB origin (mongodb-protolib/.../origin/mongodb/
+                # MongoDBDSource.java): configBean.mongoConfig.* carries the
+                # endpoint (MongoDBConfig.java:45-92), configBean.offset*
+                # the cursor state (MongoSourceConfigBean.java:30-88).  The
+                # connectionString is mongodb://host:port[/db]; documents
+                # are dynamic in SDC, a columnar plan declares the schema
+                # via origin_overrides {'record_schema': ...}.
+                ov = origin_overrides.get(name) or {}
+                conn = ov.get("connection_string") or conf.get(
+                    "configBean.mongoConfig.connectionString"
+                )
+                if not conn:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: MongoDB origin needs "
+                        "'configBean.mongoConfig.connectionString' (or an "
+                        "origin_overrides connection_string)"
+                    )
+                if "record_schema" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: MongoDB origin needs an "
+                        "origin_overrides entry with 'record_schema'"
+                    )
+                hostport = conn.split("://", 1)[-1].split("/", 1)[0]
+                host, _, port = hostport.partition(":")
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "mongodb_origin",
+                        "out": outs[0],
+                        "host": host,
+                        "port": int(port or 27017),
+                        "database": conf.get(
+                            "configBean.mongoConfig.database", ""
+                        ),
+                        "collection": conf.get(
+                            "configBean.mongoConfig.collection", ""
+                        ),
+                        "offset_field": conf.get(
+                            "configBean.offsetField", "_id"
+                        ),
+                        "offset_type": conf.get(
+                            "configBean.offsetType", "OBJECTID"
+                        ),
+                        "initial_offset": conf.get(
+                            "configBean.initialOffset", ""
+                        ),
+                        "batch_size": int(conf.get("configBean.batchSize", 1000)),
+                        **{
+                            k: v
+                            for k, v in ov.items()
+                            if k != "connection_string"
+                        },
+                    }
+                )
+            elif "MongoDBDTarget" in klass:
+                # MongoDB destination (mongodb-protolib/.../destination/
+                # mongodb/MongoDBDTarget.java): op-code-aware bulk apply,
+                # uniqueKeyField is a /field path
+                # (MongoTargetConfigBean.java:30-54; MongoDBTarget.java
+                # removeLeadingSlash :233-238).
+                ov = stage_overrides.get(name) or {}
+                conn = ov.get("connection_string") or conf.get(
+                    "mongoTargetConfigBean.mongoConfig.connectionString"
+                )
+                if not conn:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: MongoDB target needs "
+                        "'mongoTargetConfigBean.mongoConfig.connectionString'"
+                        " (or a stage_overrides connection_string)"
+                    )
+                hostport = conn.split("://", 1)[-1].split("/", 1)[0]
+                host, _, port = hostport.partition(":")
+                key = conf.get("mongoTargetConfigBean.uniqueKeyField") or "_id"
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "mongodb_target",
+                        "in": ins[0],
+                        "host": host,
+                        "port": int(port or 27017),
+                        "database": conf.get(
+                            "mongoTargetConfigBean.mongoConfig.database", ""
+                        ),
+                        "collection": conf.get(
+                            "mongoTargetConfigBean.mongoConfig.collection", ""
+                        ),
+                        "unique_key_field": path_to_column(key),
+                        **{
+                            k: v
+                            for k, v in ov.items()
+                            if k != "connection_string"
+                        },
                     }
                 )
             elif "DSource" in klass:

@@ -216,3 +216,68 @@ def test_kinesis_origin_port(spark):
             lanes["L"].unpersist()
     finally:
         fake.stop()
+
+
+def test_mongodb_origin_to_mongodb_target_port(spark):
+    """MongoDBDSource -> expression (op column) -> MongoDBDTarget, ported
+    from a stock-shaped export and executed against the loopback fake
+    mongod; the destination's ordered bulk apply lands every document."""
+    from tests.mongofake import FakeMongod
+
+    srv = FakeMongod()
+    try:
+        srv.seed("db", "src", [{"k": f"k{i:03d}", "v": i} for i in range(40)])
+        conn = f"mongodb://127.0.0.1:{srv.port}/db"
+        config = _pipeline(
+            _stage(
+                "Mongo_01",
+                "com_streamsets_pipeline_stage_origin_mongodb_MongoDBDSource",
+                {
+                    "configBean.mongoConfig.connectionString": conn,
+                    "configBean.mongoConfig.database": "db",
+                    "configBean.mongoConfig.collection": "src",
+                    "configBean.offsetField": "k",
+                    "configBean.offsetType": "STRING",
+                    "configBean.batchSize": 10,
+                },
+                outs=["L_m"],
+            ),
+            _stage(
+                "Expr_01",
+                "com_streamsets_pipeline_stage_processor_expression_ExpressionDProcessor",
+                {
+                    "expressionProcessorConfigs": [
+                        {"fieldToSet": "/sdc_op", "expression": "1"}
+                    ]
+                },
+                ins=["L_m"],
+                outs=["L_op"],
+            ),
+            _stage(
+                "MongoT_01",
+                "com_streamsets_pipeline_stage_destination_mongodb_MongoDBDTarget",
+                {
+                    "mongoTargetConfigBean.mongoConfig.connectionString": conn,
+                    "mongoTargetConfigBean.mongoConfig.database": "db",
+                    "mongoTargetConfigBean.mongoConfig.collection": "dst",
+                    "mongoTargetConfigBean.uniqueKeyField": "/k",
+                },
+                ins=["L_op"],
+            ),
+        )
+        schema = spark.createDataFrame([], "k string, v long").schema
+        spec = PipelineSpec.from_sdc_config(
+            config,
+            origin_overrides={
+                "Mongo_01": {"record_schema": schema, "num_partitions": 3}
+            },
+        )
+        lanes = spec.build(spark)
+        assert lanes["L_m"].count() == 40
+        meters = spec.run_targets()
+        assert meters["MongoT_01"]["inserted"] == 40
+        assert {d["k"]: d["v"] for d in srv.docs("db", "dst")} == {
+            f"k{i:03d}": i for i in range(40)
+        }
+    finally:
+        srv.close()

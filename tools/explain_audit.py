@@ -519,6 +519,53 @@ def main() -> None:
         )
     )
 
+    # 25) MongoDB origin: the driver probes only P-1 split VALUES of the
+    # offset field; each task range-scans its (lo, hi] slice — one tiny
+    # range-seed exchange, all document movement inside MapInPandas.  The
+    # split probe needs a live endpoint, so run it against the loopback
+    # fake.
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    from tests.mongofake import FakeMongod
+
+    from datacollector_spark.sources.mongodb import (
+        MongoSourceConfig,
+        mongodb_read_batch,
+    )
+
+    _srv = FakeMongod()
+    try:
+        _srv.seed("audit", "c", [{"k": f"k{i:03d}", "v": i} for i in range(64)])
+        df = mongodb_read_batch(
+            spark,
+            MongoSourceConfig(
+                "127.0.0.1", _srv.port, "audit", "c",
+                offset_field="k", offset_type="STRING", num_partitions=8,
+            ),
+            _T.StructType(
+                [
+                    _T.StructField("k", _T.StringType()),
+                    _T.StructField("v", _T.LongType()),
+                ]
+            ),
+        )
+        p = plan_of(df)
+    finally:
+        _srv.close()
+    checks.append(
+        (
+            "MongoDB origin plan (range-partitioned scan shape)",
+            p,
+            [
+                ("per-range find/getMore loop (mapInPandas)", "MapInPandas" in p),
+                ("only the range-seed exchange",
+                 len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+                ("no per-row Python UDF", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
