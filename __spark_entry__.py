@@ -1807,6 +1807,91 @@ def q_sink_mongodb_cdc(spark, sf_dir):
         srv.close()
 
 
+def q_cdc_mongo_oplog_tail(spark, sf_dir):
+    """MongoDB OPLOG tail as a live CDC source (MongoDBOplogSource.java:
+    100-160): an oplog-shaped capped collection (i/u/d entries with BSON
+    ts timestamps, o/o2 update split) drains over the wire in 3 range
+    partitions, decodes through ``decode_mongo_oplog`` (lossless ts ->
+    (lsn, seq_in_tx) rescale), LWW-collapses per key, and the surviving
+    state must equal the oracle's sequential replay: INSERT the first 100
+    customers, UPDATE the first 50 to tripled balances, DELETE the first
+    20."""
+    import os
+    import sys
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from datacollector_spark.model import OP_DELETE
+    from datacollector_spark.operators.collapse import lww_collapse
+    from datacollector_spark.sources.changelog_formats import decode_mongo_oplog
+    from datacollector_spark.sources.mongodb import (
+        BsonTimestamp,
+        MongoOplogConfig,
+        mongodb_oplog_read_batch,
+    )
+
+    try:
+        from tests.mongofake import FakeMongod
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.mongofake import FakeMongod
+
+    rows = sorted(
+        _pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal"],
+        ).to_pylist(),
+        key=lambda r: r["c_custkey"],
+    )[:100]
+    sec = 1_700_000_000
+    entries = []
+    for i, r in enumerate(rows):
+        o = {
+            "ck": f"{r['c_custkey']:09d}",
+            "c_name": r["c_name"],
+            "bal": str(r["c_acctbal"]),
+        }
+        entries.append(
+            {"ts": BsonTimestamp(sec + i, 1), "op": "i", "ns": "db.cust",
+             "o": o, "h": i}
+        )
+    for i, r in enumerate(rows[:50]):
+        o = {
+            "ck": f"{r['c_custkey']:09d}",
+            "c_name": r["c_name"],
+            "bal": str(r["c_acctbal"] * 3),
+        }
+        entries.append(
+            {"ts": BsonTimestamp(sec + 1000 + i, 1), "op": "u", "ns": "db.cust",
+             "o": o, "o2": {"ck": f"{r['c_custkey']:09d}"}, "h": 1000 + i}
+        )
+    for i, r in enumerate(rows[:20]):
+        entries.append(
+            {"ts": BsonTimestamp(sec + 2000 + i, 1), "op": "d", "ns": "db.cust",
+             "o": {"ck": f"{r['c_custkey']:09d}"}, "h": 2000 + i}
+        )
+    srv = FakeMongod()
+    try:
+        srv.seed("local", "oplog.rs", entries)
+        cfg = MongoOplogConfig("127.0.0.1", srv.port, num_partitions=3)
+        raw = mongodb_oplog_read_batch(spark, cfg)
+        env = decode_mongo_oplog(raw, "json")
+        winners = lww_collapse(
+            env.withColumn("ck", F.col("data")["ck"]),
+            key_columns=["ck"],
+            carry_columns=["op", "data"],
+        )
+        final = winners.where(F.col("op") != OP_DELETE).select(
+            "ck",
+            F.col("data")["c_name"].alias("c_name"),
+            F.col("data")["bal"].cast("double").alias("bal"),
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        srv.close()
+
+
 def q_lookup_redis_kv(spark, sf_dir):
     """Redis KV lookup over a LIVE loopback RESP2 server: nation names are
     seeded as string keys, then every customer row looks up its nation via
@@ -2077,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "origin_salesforce_bulk": q_origin_salesforce_bulk,
         "origin_mongodb": q_origin_mongodb,
         "sink_mongodb_cdc": q_sink_mongodb_cdc,
+        "cdc_mongo_oplog_tail": q_cdc_mongo_oplog_tail,
         "lookup_redis_kv": q_lookup_redis_kv,
         "proc_error_lane_headers": q_proc_error_lane_headers,
         "el_dir_template": q_el_dir_template,
@@ -2542,6 +2628,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rn <= 60 THEN c_acctbal * 2
                         ELSE c_acctbal END AS bal
             FROM c WHERE rn > 30
+        """,
+        "cdc_mongo_oplog_tail": """
+            WITH c AS (
+                SELECT c_custkey, c_name, c_acctbal,
+                       row_number() OVER (ORDER BY c_custkey) AS rn
+                FROM customer ORDER BY c_custkey LIMIT 100
+            )
+            SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS ck,
+                   c_name,
+                   CASE WHEN rn <= 50 THEN c_acctbal * 3
+                        ELSE c_acctbal END AS bal
+            FROM c WHERE rn > 20
         """,
         "proc_error_lane_headers": """
             SELECT event_id,

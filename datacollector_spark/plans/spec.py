@@ -308,6 +308,7 @@ class PipelineSpec:
                 "rabbitmq_origin",
                 "force_bulk_origin",
                 "mongodb_origin",
+                "mongodb_oplog_origin",
             ):
                 req_by_type = {
                     "s3_origin_spool": ("endpoint", "bucket"),
@@ -328,6 +329,7 @@ class PipelineSpec:
                         "collection",
                         "record_schema",
                     ),
+                    "mongodb_oplog_origin": ("host", "port"),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -694,6 +696,31 @@ class PipelineSpec:
                         mg_cfg,
                         st["record_schema"],
                         last_offset=st.get("last_offset"),
+                    ),
+                )
+            elif typ == "mongodb_oplog_origin":
+                from datacollector_spark.sources.mongodb import (
+                    MongoOplogConfig,
+                    mongodb_oplog_read_batch,
+                )
+
+                og_cfg = MongoOplogConfig(
+                    st["host"],
+                    int(st["port"]),
+                    database=st.get("database", "local"),
+                    collection=st.get("collection", "oplog.rs"),
+                    initial_ts=int(st.get("initial_ts", -1)),
+                    initial_ordinal=int(st.get("initial_ordinal", -1)),
+                    filter_op_types=tuple(
+                        st.get("filter_op_types") or ("i", "u", "d")
+                    ),
+                    batch_size=int(st.get("batch_size", 1000)),
+                    num_partitions=int(st.get("num_partitions", 4)),
+                )
+                _place(
+                    st.get("out", "main"),
+                    mongodb_oplog_read_batch(
+                        spark, og_cfg, last_offset=st.get("last_offset")
                     ),
                 )
             elif typ in (
@@ -2029,6 +2056,65 @@ class PipelineSpec:
                         ],
                         "channel": channels[0] if channels else None,
                         **{k: v for k, v in ov.items() if k != "uri"},
+                    }
+                )
+            elif "MongoDBOplogDSource" in klass:
+                # MongoDB Oplog CDC origin (mongodb-protolib/.../origin/
+                # mongodb/oplog/MongoDBOplogDSource.java): shares
+                # configBean.mongoConfig with the plain origin; the oplog
+                # bean carries initialTs/initialOrdinal (must be set
+                # together, MONGODB_34/35) + filterOplogOpTypes (enum names
+                # -> oplog op letters, OplogOpType.java:25-30).
+                ov = origin_overrides.get(name) or {}
+                conn = ov.get("connection_string") or conf.get(
+                    "configBean.mongoConfig.connectionString"
+                )
+                if not conn:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: MongoDB oplog origin "
+                        "needs 'configBean.mongoConfig.connectionString' "
+                        "(or an origin_overrides connection_string)"
+                    )
+                hostport = conn.split("://", 1)[-1].split("/", 1)[0]
+                host, _, port = hostport.partition(":")
+                op_letters = {
+                    "INSERT": "i", "DELETE": "d", "UPDATE": "u",
+                    "NOOP": "n", "CMD": "c", "DB": "db",
+                }
+                filt = [
+                    op_letters.get(str(t).upper(), str(t))
+                    for t in conf.get(
+                        "mongoDBOplogSourceConfigBean.filterOplogOpTypes"
+                    ) or ["INSERT", "UPDATE", "DELETE"]
+                ]
+                coll = conf.get("configBean.mongoConfig.collection") or "oplog.rs"
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "mongodb_oplog_origin",
+                        "out": outs[0],
+                        "host": host,
+                        "port": int(port or 27017),
+                        "database": conf.get(
+                            "configBean.mongoConfig.database", "local"
+                        ) or "local",
+                        "collection": coll.split(".", 1)[-1]
+                        if coll.startswith("local.") else coll,
+                        "initial_ts": int(
+                            conf.get("mongoDBOplogSourceConfigBean.initialTs", -1)
+                        ),
+                        "initial_ordinal": int(
+                            conf.get(
+                                "mongoDBOplogSourceConfigBean.initialOrdinal", -1
+                            )
+                        ),
+                        "filter_op_types": filt,
+                        "batch_size": int(conf.get("configBean.batchSize", 1000)),
+                        **{
+                            k: v
+                            for k, v in ov.items()
+                            if k != "connection_string"
+                        },
                     }
                 )
             elif "MongoDBDSource" in klass:

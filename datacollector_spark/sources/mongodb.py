@@ -121,6 +121,54 @@ class ObjectId:
         return hash(self.binary)
 
 
+class BsonTimestamp:
+    """BSON type 0x11 (internal replication timestamp): uint64 packed as
+    (seconds << 32) | ordinal.  Orders by the packed value — the oplog's
+    natural order."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, seconds_or_packed: int, ordinal: int | None = None):
+        if ordinal is None:
+            self.value = int(seconds_or_packed)
+        else:
+            self.value = (int(seconds_or_packed) << 32) | int(ordinal)
+        if not 0 <= self.value < 2**64:
+            raise ValueError("BSON timestamp out of uint64 range")
+
+    @property
+    def seconds(self) -> int:
+        return self.value >> 32
+
+    @property
+    def ordinal(self) -> int:
+        return self.value & 0xFFFFFFFF
+
+    def __repr__(self) -> str:
+        return f"BsonTimestamp({self.seconds}, {self.ordinal})"
+
+    def __int__(self) -> int:
+        return self.value
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, BsonTimestamp) and self.value == other.value
+
+    def __lt__(self, other: "BsonTimestamp") -> bool:
+        return self.value < other.value
+
+    def __le__(self, other: "BsonTimestamp") -> bool:
+        return self.value <= other.value
+
+    def __gt__(self, other: "BsonTimestamp") -> bool:
+        return self.value > other.value
+
+    def __ge__(self, other: "BsonTimestamp") -> bool:
+        return self.value >= other.value
+
+    def __hash__(self) -> int:
+        return hash(self.value)
+
+
 _EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
 
@@ -147,6 +195,8 @@ def _encode_value(name: bytes, value: Any) -> bytes:
         )
     if isinstance(value, ObjectId):
         return b"\x07" + name + b"\x00" + value.binary
+    if isinstance(value, BsonTimestamp):
+        return b"\x11" + name + b"\x00" + struct.pack("<Q", value.value)
     if isinstance(value, _dt.datetime):
         if value.tzinfo is None:
             value = value.replace(tzinfo=_dt.timezone.utc)
@@ -194,8 +244,8 @@ def _decode_value(tag: int, data: bytes, pos: int) -> tuple[Any, int]:
         return None, pos
     if tag == 0x10:
         return struct.unpack_from("<i", data, pos)[0], pos + 4
-    if tag == 0x11:  # BSON timestamp — surface as the raw uint64
-        return struct.unpack_from("<Q", data, pos)[0], pos + 8
+    if tag == 0x11:
+        return BsonTimestamp(struct.unpack_from("<Q", data, pos)[0]), pos + 8
     if tag == 0x12:
         return struct.unpack_from("<q", data, pos)[0], pos + 8
     raise ValueError(f"BSON: unsupported element type 0x{tag:02x}")
@@ -457,6 +507,172 @@ def mongodb_next_offset(df: DataFrame, cfg: MongoSourceConfig) -> str | None:
     hex of a 12-byte big-endian id sorts like its bytes)."""
     row = df.agg(F.max(cfg.offset_field).alias("o")).first()
     return None if row is None or row["o"] is None else str(row["o"])
+
+
+# ----------------------------------------------------------- oplog (CDC)
+
+
+@dataclass
+class MongoOplogConfig:
+    """MongoDBOplogSourceConfigBean.java:30-66 — the oplog tail origin's
+    knobs: initialTs/initialOrdinal (both must be set together,
+    MONGODB_34/35 cross-check :70-90) and the oplog op-type filter."""
+
+    host: str
+    port: int
+    database: str = "local"
+    collection: str = "oplog.rs"
+    initial_ts: int = -1
+    initial_ordinal: int = -1
+    filter_op_types: tuple = ("i", "u", "d")  # OplogOpType.java
+    batch_size: int = 1000
+    num_partitions: int = 4
+
+
+def _oplog_start(cfg: MongoOplogConfig, last_offset: str | None):
+    """Offset string is ``tsSeconds::ordinal``
+    (MongoDBOplogSource.java:58,143-157); -1/-1 initials mean 'from the
+    start of the oplog'."""
+    if last_offset:
+        s, _, o = last_offset.partition("::")
+        return BsonTimestamp(int(s), int(o))
+    if (cfg.initial_ts == -1) != (cfg.initial_ordinal == -1):
+        raise ValueError(
+            "MONGODB_34: initial_ts and initial_ordinal must be set together"
+        )
+    if cfg.initial_ts > 0 and cfg.initial_ordinal >= 0:
+        return BsonTimestamp(cfg.initial_ts, cfg.initial_ordinal)
+    return None
+
+
+def _oplog_filter(cfg: MongoOplogConfig, gt=None, lte=None) -> dict:
+    """ts range AND op-type membership (MongoDBOplogSource.java:171-191 —
+    the reference ors per-type eq filters; ``$in`` is the equivalent
+    server-side form)."""
+    filt: dict[str, Any] = {}
+    cond: dict[str, Any] = {}
+    if gt is not None:
+        cond["$gt"] = gt
+    if lte is not None:
+        cond["$lte"] = lte
+    if cond:
+        filt["ts"] = cond
+    if cfg.filter_op_types:
+        filt["op"] = {"$in": list(cfg.filter_op_types)}
+    return filt
+
+
+def mongodb_oplog_read_batch(
+    spark: SparkSession,
+    cfg: MongoOplogConfig,
+    last_offset: str | None = None,
+) -> DataFrame:
+    """One drain of the oplog tail past the ``ts`` offset
+    (MongoDBOplogSource.java:100-160: tailable cursor over the capped
+    ``local.oplog.rs`` in natural == ts order, entries filtered to the
+    configured op types).  ``ts`` is monotone, so the drain parallelizes
+    exactly like the regular origin: P-1 split-VALUE probes, then each
+    executor task range-scans (lo, hi] over its own connection.
+
+    Output: ``ts`` (the packed uint64 BSON timestamp, the durable-offset
+    column) + ``json`` (the full entry as a JSON string) — the shape
+    ``changelog_formats.decode_mongo_oplog`` takes into the CDC envelope,
+    rescaling ts into (lsn, seq_in_tx) losslessly."""
+    start = _oplog_start(cfg, last_offset)
+    cli = MongoWireClient(cfg.host, cfg.port)
+    try:
+        base = _oplog_filter(cfg, gt=start)
+        n = cli.command(
+            cfg.database, {"count": cfg.collection, "query": base}
+        )["n"]
+        splits: list[int] = []
+        if n and cfg.num_partitions > 1:
+            step = max(1, (n + cfg.num_partitions - 1) // cfg.num_partitions)
+            for k in range(1, cfg.num_partitions):
+                if k * step >= n:
+                    break
+                probe = list(
+                    cli.find_iter(
+                        cfg.database,
+                        cfg.collection,
+                        base,
+                        sort={"ts": 1},
+                        projection={"ts": 1},
+                        skip=k * step,
+                        limit=1,
+                        batch_size=1,
+                    )
+                )
+                if probe:
+                    splits.append(probe[0]["ts"].value)
+    finally:
+        cli.close()
+    splits = sorted(set(splits))
+
+    lo0 = str(start.value) if start is not None else ""
+    lo_bounds = [lo0] + [str(s) for s in splits]
+    hi_bounds = [str(s) for s in splits] + [""]
+    ranges = spark.createDataFrame(
+        list(zip(lo_bounds, hi_bounds)), "lo string, hi string"
+    ).repartition(len(lo_bounds))
+
+    host, port, db, coll = cfg.host, cfg.port, cfg.database, cfg.collection
+    ops, page = tuple(cfg.filter_op_types), cfg.batch_size
+
+    def scan(batches: Iterator) -> Iterator:
+        import json as _json
+
+        import pandas as pd
+
+        rcfg = MongoOplogConfig(host, port, db, coll, filter_op_types=ops)
+        for pdf in batches:
+            for lo, hi in pdf[["lo", "hi"]].itertuples(index=False):
+                filt = _oplog_filter(
+                    rcfg,
+                    gt=BsonTimestamp(int(lo)) if lo else None,
+                    lte=BsonTimestamp(int(hi)) if hi else None,
+                )
+                client = MongoWireClient(host, port)
+                try:
+                    ts_vals: list[int] = []
+                    jsons: list[str] = []
+                    for doc in client.find_iter(
+                        db, coll, filt, sort={"ts": 1}, batch_size=page
+                    ):
+                        ts = doc["ts"].value
+                        if ts >= 2**63:
+                            raise ValueError(
+                                f"oplog ts {ts} exceeds int64 (corrupt entry)"
+                            )
+                        entry = {
+                            "op": doc.get("op"),
+                            "ts": ts,
+                            "h": doc.get("h"),
+                            "ns": doc.get("ns"),
+                            "o": doc.get("o"),
+                            "o2": doc.get("o2"),
+                        }
+                        ts_vals.append(ts)
+                        jsons.append(_json.dumps(entry, default=str))
+                        if len(ts_vals) >= page:
+                            yield pd.DataFrame({"ts": ts_vals, "json": jsons})
+                            ts_vals, jsons = [], []
+                    if ts_vals:
+                        yield pd.DataFrame({"ts": ts_vals, "json": jsons})
+                finally:
+                    client.close()
+
+    return ranges.mapInPandas(scan, "ts long, json string")
+
+
+def mongodb_oplog_next_offset(df: DataFrame) -> str | None:
+    """Durable ``tsSeconds::ordinal`` offset after a drain
+    (MongoDBOplogSource.java createOffset)."""
+    row = df.agg(F.max("ts").alias("t")).first()
+    if row is None or row["t"] is None:
+        return None
+    t = BsonTimestamp(int(row["t"]))
+    return f"{t.seconds}::{t.ordinal}"
 
 
 # -------------------------------------------------------------- destination

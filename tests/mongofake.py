@@ -44,6 +44,9 @@ def _match(doc: dict, q: dict) -> bool:
                 elif op == "$lte":
                     if v is None or not v <= rhs:
                         return False
+                elif op == "$in":
+                    if v not in rhs:
+                        return False
                 else:
                     raise ValueError(f"fake mongod: unsupported operator {op}")
         elif v != cond:

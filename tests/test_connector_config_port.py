@@ -281,3 +281,49 @@ def test_mongodb_origin_to_mongodb_target_port(spark):
         }
     finally:
         srv.close()
+
+
+def test_mongodb_oplog_origin_port(spark):
+    """MongoDBOplogDSource ported from a stock-shaped export: initialTs/
+    initialOrdinal offsets, filterOplogOpTypes enum names -> oplog letters,
+    local.oplog.rs collection split."""
+    from datacollector_spark.sources.mongodb import BsonTimestamp
+    from tests.mongofake import FakeMongod
+
+    srv = FakeMongod()
+    try:
+        sec = 1_700_000_000
+        entries = [
+            {"ts": BsonTimestamp(sec + i, 1), "op": "i", "ns": "db.c",
+             "o": {"k": f"k{i}", "v": str(i)}, "h": i}
+            for i in range(12)
+        ]
+        entries.append(
+            {"ts": BsonTimestamp(sec + 50, 1), "op": "n", "ns": "",
+             "o": {"msg": "noop"}, "h": 99}
+        )
+        srv.seed("local", "oplog.rs", entries)
+        config = _pipeline(
+            _stage(
+                "Oplog_01",
+                "com_streamsets_pipeline_stage_origin_mongodb_oplog_MongoDBOplogDSource",
+                {
+                    "configBean.mongoConfig.connectionString":
+                        f"mongodb://127.0.0.1:{srv.port}",
+                    "configBean.mongoConfig.collection": "local.oplog.rs",
+                    "mongoDBOplogSourceConfigBean.initialTs": sec + 3,
+                    "mongoDBOplogSourceConfigBean.initialOrdinal": 1,
+                    "mongoDBOplogSourceConfigBean.filterOplogOpTypes":
+                        ["INSERT", "UPDATE", "DELETE"],
+                },
+                outs=["L"],
+            ),
+        )
+        spec = PipelineSpec.from_sdc_config(config)
+        lanes = spec.build(spark)
+        rows = lanes["L"].collect()
+        # strictly after (sec+3, 1); the noop is filtered by op type
+        assert len(rows) == 8
+        assert all('"op": "i"' in r["json"] for r in rows)
+    finally:
+        srv.close()

@@ -205,3 +205,91 @@ def test_target_validates_columns(spark, mongod):
                 "127.0.0.1", mongod.port, "db", "c", unique_key_field="missing"
             ),
         )
+
+
+# ------------------------------------------------------------- oplog (CDC)
+
+
+def _oplog_entry(sec, ord_, op, ns, o, o2=None, h=0):
+    from datacollector_spark.sources.mongodb import BsonTimestamp
+
+    d = {"ts": BsonTimestamp(sec, ord_), "op": op, "ns": ns, "o": o, "h": h}
+    if o2 is not None:
+        d["o2"] = o2
+    return d
+
+
+def test_bson_timestamp_codec_roundtrip():
+    from datacollector_spark.sources.mongodb import BsonTimestamp
+
+    t = BsonTimestamp(1_700_000_000, 7)
+    out = bson_decode(bson_encode({"ts": t}))["ts"]
+    assert out == t and out.seconds == 1_700_000_000 and out.ordinal == 7
+    assert BsonTimestamp(1, 2) < BsonTimestamp(1, 3) < BsonTimestamp(2, 0)
+
+
+def test_oplog_tail_to_cdc_final_state(spark, mongod):
+    """Live oplog drain -> decode_mongo_oplog -> LWW collapse reproduces the
+    sequential replay: inserts, replacement updates (o2 key + o doc), and
+    deletes, with the durable ts::ordinal offset resuming the tail
+    (MongoDBOplogSource.java:100-160)."""
+    from pyspark.sql import functions as F
+
+    from datacollector_spark.model import OP_DELETE
+    from datacollector_spark.operators.collapse import lww_collapse
+    from datacollector_spark.sources.changelog_formats import decode_mongo_oplog
+    from datacollector_spark.sources.mongodb import (
+        MongoOplogConfig,
+        mongodb_oplog_next_offset,
+        mongodb_oplog_read_batch,
+    )
+
+    sec = 1_700_000_000
+    entries = []
+    for i in range(40):
+        entries.append(
+            _oplog_entry(sec + i, 1, "i", "db.c", {"k": f"k{i:02d}", "v": str(i)}, h=i)
+        )
+    for i in range(20):  # replace v with v*10 on the first 20
+        entries.append(
+            _oplog_entry(
+                sec + 100 + i, 1, "u", "db.c",
+                {"k": f"k{i:02d}", "v": str(i * 10)}, o2={"k": f"k{i:02d}"},
+            )
+        )
+    for i in range(10):  # delete the first 10
+        entries.append(
+            _oplog_entry(sec + 200 + i, 1, "d", "db.c", {"k": f"k{i:02d}"})
+        )
+    # a noop entry the op-type filter must drop (OplogOpType NOOP)
+    entries.append(_oplog_entry(sec + 300, 1, "n", "", {"msg": "periodic noop"}))
+    mongod.seed("local", "oplog.rs", entries)
+
+    cfg = MongoOplogConfig("127.0.0.1", mongod.port, num_partitions=3)
+    raw = mongodb_oplog_read_batch(spark, cfg)
+    assert raw.count() == 70  # noop filtered server-side
+
+    env = decode_mongo_oplog(raw, "json")
+    winners = lww_collapse(
+        env.withColumn("k", F.col("data")["k"]),
+        key_columns=["k"],
+        carry_columns=["op", "data"],
+    )
+    final = {
+        r["k"]: r["data"]["v"]
+        for r in winners.where(F.col("op") != OP_DELETE).collect()
+    }
+    expect = {f"k{i:02d}": str(i * 10) for i in range(10, 20)}
+    expect.update({f"k{i:02d}": str(i) for i in range(20, 40)})
+    assert final == expect
+
+    # durable resume: new entries past the offset, old ones not re-read
+    off = mongodb_oplog_next_offset(raw)
+    assert off == f"{sec + 300}::1" or off == f"{sec + 209}::1"
+    mongod.seed(
+        "local", "oplog.rs",
+        [_oplog_entry(sec + 400, 2, "i", "db.c", {"k": "k99", "v": "99"})],
+    )
+    delta = mongodb_oplog_read_batch(spark, cfg, last_offset=off)
+    rows = delta.collect()
+    assert len(rows) == 1 and '"k99"' in rows[0]["json"]
