@@ -114,6 +114,57 @@ def _connector_writer(typ: str, st: dict, src: Any):
             from datacollector_spark.sources.rabbitmq import rabbit_target
 
             rabbit_target(src, _rabbit_config(st))
+    elif typ in ("jdbc_producer_lake", "kudu_lake"):
+        def write():
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            from datacollector_spark.lake.table import LakeTable
+            from datacollector_spark.operators.collapse import lww_collapse
+
+            df = src
+            for fld, col in (st.get("renames") or {}).items():
+                df = df.withColumnRenamed(fld, col)
+            # non-CDC inputs (changeLogFormat NONE) carry no envelope —
+            # synthesize it from the stage's default operation
+            # (JdbcRecordReader.java:48-77 default-op fallback)
+            if "op" not in df.columns:
+                df = df.withColumn(
+                    "op", F.lit(int(st.get("default_op_code", 1)))
+                )
+            if "lsn" not in df.columns:
+                df = df.withColumn("lsn", F.lit(0).cast("long"))
+            if "seq_in_tx" not in df.columns:
+                df = df.withColumn("seq_in_tx", F.lit(0))
+            keys = list(st["key_columns"])
+            collapsed = lww_collapse(df, key_columns=keys)
+            path = st["table_path"]
+            spark_s = src.sparkSession
+            if not _os.path.exists(_os.path.join(path, "_manifests")):
+                envelope = {
+                    "op", "lsn", "seq_in_tx", "src_table", "server_id",
+                    "commit_ts",
+                }
+                payload = [
+                    c
+                    for c in collapsed.columns
+                    if c not in envelope and not c.startswith("old_")
+                ]
+                LakeTable.create(
+                    spark_s,
+                    path,
+                    collapsed.select(*payload).schema,
+                    keys,
+                    num_buckets=int(st.get("num_buckets", 16)),
+                )
+            table = LakeTable(spark_s, path)
+            res = table.merge(
+                collapsed,
+                commit_key=st.get("commit_key"),
+                mode="mor" if typ == "kudu_lake" else st.get("mode", "cow"),
+            )
+            return res.as_dict()
     elif typ == "mongodb_target":
         def write():
             from datacollector_spark.sources.mongodb import (
@@ -354,6 +405,8 @@ class PipelineSpec:
                 "redis_target",
                 "rabbitmq_target",
                 "mongodb_target",
+                "jdbc_producer_lake",
+                "kudu_lake",
             ):
                 req_by_type = {
                     "solr_target": ("solr_uri", "collection", "field_map"),
@@ -362,6 +415,8 @@ class PipelineSpec:
                     "redis_target": ("uri",),
                     "rabbitmq_target": ("uri",),
                     "mongodb_target": ("host", "port", "database", "collection"),
+                    "jdbc_producer_lake": ("table_path", "key_columns"),
+                    "kudu_lake": ("table_path", "key_columns"),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
@@ -730,6 +785,8 @@ class PipelineSpec:
                 "redis_target",
                 "rabbitmq_target",
                 "mongodb_target",
+                "jdbc_producer_lake",
+                "kudu_lake",
             ):
                 src = lanes[st["in"]]
                 targets[st["name"]] = src
@@ -2056,6 +2113,59 @@ class PipelineSpec:
                         ],
                         "channel": channels[0] if channels else None,
                         **{k: v for k, v in ov.items() if k != "uri"},
+                    }
+                )
+            elif "JdbcDTarget" in klass or "KuduDTarget" in klass:
+                # JDBC Producer (jdbc-lib/.../destination/jdbc/
+                # JdbcDTarget.java) and Kudu target (kudu-protolib/...
+                # KuduDTarget.java) — the reference's CDC apply
+                # destinations; the engine's analog is MERGE INTO on the
+                # lake table (SURVEY §2.5): COW for the JDBC producer,
+                # MOR delta ingest for Kudu.  The reference discovers
+                # primary keys from DB metadata at runtime
+                # (JdbcBaseRecordWriter.java:108-124) and writes to a live
+                # endpoint — a port supplies both via stage_overrides
+                # {'table_path', 'key_columns'}.
+                is_kudu = "KuduDTarget" in klass
+                ov = stage_overrides.get(name) or {}
+                missing = [k for k in ("table_path", "key_columns") if k not in ov]
+                if missing:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: lake-merge target needs "
+                        f"stage_overrides {missing} (primary keys come from "
+                        "DB metadata in the reference; none exists in a port)"
+                    )
+                if is_kudu:
+                    mappings = conf.get("kuduConfigBean.fieldMappingConfigs") or []
+                    default_op = conf.get(
+                        "kuduConfigBean.defaultOperation", "UPSERT"
+                    )
+                else:
+                    mappings = conf.get("columnNames") or []
+                    default_op = conf.get("defaultOperation", "INSERT")
+                op_codes = {"INSERT": 1, "DELETE": 2, "UPDATE": 3, "UPSERT": 4}
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "kudu_lake" if is_kudu else "jdbc_producer_lake",
+                        "in": ins[0],
+                        "table_path": ov["table_path"],
+                        "key_columns": list(ov["key_columns"]),
+                        "num_buckets": int(ov.get("num_buckets", 16)),
+                        "change_log_format": conf.get("changeLogFormat", "NONE"),
+                        "default_op_code": op_codes.get(
+                            str(default_op).upper(), 1
+                        ),
+                        "renames": {
+                            path_to_column(m["field"]): m["columnName"]
+                            for m in mappings
+                        },
+                        "commit_key": ov.get("commit_key", name),
+                        **{
+                            k: v
+                            for k, v in ov.items()
+                            if k not in ("table_path", "key_columns")
+                        },
                     }
                 )
             elif "MongoDBOplogDSource" in klass:
