@@ -32,6 +32,7 @@ validation issue codes.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,6 +115,47 @@ def _connector_writer(typ: str, st: dict, src: Any):
             from datacollector_spark.sources.rabbitmq import rabbit_target
 
             rabbit_target(src, _rabbit_config(st))
+    elif typ == "fs_dir_template_target":
+        def write():
+            import os as _os
+            import uuid as _uuid
+
+            from pyspark.sql import functions as F
+
+            from datacollector_spark.functions.el import el_dir_template
+
+            base = st["base_dir"]
+            prefix = st.get("unique_prefix", "sdc")
+            suffix = st.get("file_name_suffix", "")
+            dir_col = el_dir_template(
+                st["dir_path_template"], st.get("time_col", "ts")
+            )
+            encoded = src.select(
+                dir_col.alias("__dir"),
+                F.to_json(F.struct(*src.columns)).alias("__line"),
+            ).repartition(F.col("__dir"))
+
+            def write_part(rows):
+                handles: dict = {}
+                try:
+                    for row in rows:
+                        d = _os.path.join(base, row["__dir"].lstrip("/"))
+                        fh = handles.get(d)
+                        if fh is None:
+                            _os.makedirs(d, exist_ok=True)
+                            fname = f"{prefix}_{_uuid.uuid4().hex}{suffix}"
+                            fh = open(_os.path.join(d, fname), "w")
+                            handles[d] = fh
+                        fh.write(row["__line"] + "\n")
+                finally:
+                    for fh in handles.values():
+                        fh.close()
+
+            encoded.foreachPartition(write_part)
+            n_files = sum(
+                len(fs) for _, _, fs in _os.walk(base) if fs
+            )
+            return {"files_written": n_files}
     elif typ in ("jdbc_producer_lake", "kudu_lake"):
         def write():
             import os as _os
@@ -407,6 +449,7 @@ class PipelineSpec:
                 "mongodb_target",
                 "jdbc_producer_lake",
                 "kudu_lake",
+                "fs_dir_template_target",
             ):
                 req_by_type = {
                     "solr_target": ("solr_uri", "collection", "field_map"),
@@ -417,12 +460,18 @@ class PipelineSpec:
                     "mongodb_target": ("host", "port", "database", "collection"),
                     "jdbc_producer_lake": ("table_path", "key_columns"),
                     "kudu_lake": ("table_path", "key_columns"),
+                    "fs_dir_template_target": ("base_dir", "dir_path_template"),
                 }
                 for key in req_by_type[typ]:
                     if key not in st:
                         raise ValidationError(
                             f"VALIDATION_0003: {name}: {typ} needs {key!r}"
                         )
+            elif typ == "kafka_encode_target":
+                if "topic" not in st:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: kafka_encode_target needs 'topic'"
+                    )
             elif typ == "memory_target":
                 pass
             else:
@@ -787,10 +836,27 @@ class PipelineSpec:
                 "mongodb_target",
                 "jdbc_producer_lake",
                 "kudu_lake",
+                "fs_dir_template_target",
             ):
                 src = lanes[st["in"]]
                 targets[st["name"]] = src
                 self.target_writers[st["name"]] = _connector_writer(typ, st, src)
+            elif typ == "kafka_encode_target":
+                # Kafka producer target: the encode + partition-strategy
+                # half runs here (the broker write is jar-gated —
+                # kafka_producer_sink wires writeStream.format("kafka")).
+                # The encoded producer frame lands on the stage's lane.
+                from datacollector_spark.sources.kafka import encode_for_kafka
+
+                targets[st["name"]] = encode_for_kafka(
+                    lanes[st["in"]],
+                    st["topic"],
+                    key_expr=st.get("key_expr"),
+                    value_format=st.get("value_format", "json"),
+                    partition_strategy=st.get("partition_strategy", "DEFAULT"),
+                    num_partitions=int(st.get("num_partitions", 1)),
+                    partition_expr=st.get("partition_expr"),
+                )
             elif typ == "memory_target":
                 targets[st["name"]] = lanes[st["in"]]
         lanes.update(targets)
@@ -2113,6 +2179,102 @@ class PipelineSpec:
                         ],
                         "channel": channels[0] if channels else None,
                         **{k: v for k, v in ov.items() if k != "uri"},
+                    }
+                )
+            elif "KafkaDTarget" in klass:
+                # Kafka producer (kafka_target-protolib/.../destination/
+                # kafka/KafkaDTarget.java; KafkaTargetConfig.java:72-181 —
+                # conf.topic, conf.partitionStrategy, conf.partition is a
+                # record-EL expression, conf.dataFormat).  The encode +
+                # partitioning are ported exactly; the broker send is the
+                # jar-gated writeStream wiring.
+                fmt = str(conf.get("conf.dataFormat") or "JSON").upper()
+                vfmt = {"JSON": "json", "DELIMITED": "csv"}.get(fmt)
+                if vfmt is None:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: Kafka target dataFormat "
+                        f"{fmt!r} not portable (JSON/DELIMITED only)"
+                    )
+                ov = stage_overrides.get(name) or {}
+                strategy = str(
+                    conf.get("conf.partitionStrategy") or "DEFAULT"
+                ).upper()
+                part_expr = None
+                if strategy == "EXPRESSION":
+                    part_expr = el(conf.get("conf.partition") or "")
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "kafka_encode_target",
+                        "in": ins[0],
+                        "topic": conf.get("conf.topic", ""),
+                        "value_format": vfmt,
+                        "partition_strategy": strategy,
+                        "partition_expr": part_expr,
+                        "brokers": conf.get("conf.metadataBrokerList", ""),
+                        **ov,
+                    }
+                )
+            elif "HdfsDTarget" in klass or "LocalFileSystemDTarget" in klass:
+                # Hadoop FS / Local FS target (hdfs-protolib/.../destination/
+                # hdfs/HdfsTargetConfigBean.java:90-379): dirPathTemplate is
+                # an EL path template resolved per record on the timeDriver
+                # clock; files get uniquePrefix/fileNameSuffix names.  The
+                # sandbox has no HDFS — base_dir rides stage_overrides (or a
+                # file:// hdfsUri).
+                ov = stage_overrides.get(name) or {}
+                pfx = "hdfsTargetConfigBean."
+                uri = conf.get(pfx + "hdfsUri") or ""
+                base = ov.get("base_dir") or (
+                    uri[len("file://"):] if uri.startswith("file://") else None
+                )
+                if not base:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: FS target needs a "
+                        "stage_overrides 'base_dir' (or a file:// hdfsUri)"
+                    )
+                tpl = ov.get("dir_path_template") or conf.get(
+                    pfx + "dirPathTemplate"
+                )
+                if not tpl:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: FS target needs "
+                        "'dirPathTemplate'"
+                    )
+                fmt = str(conf.get(pfx + "dataFormat") or "JSON").upper()
+                if fmt != "JSON":
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: FS target dataFormat "
+                        f"{fmt!r} not portable (JSON only)"
+                    )
+                time_col = ov.get("time_col")
+                driver_el = conf.get(pfx + "timeDriver") or "${time:now()}"
+                m = re.fullmatch(
+                    r"\$\{record:value\('([^']+)'\)\}", driver_el.strip()
+                )
+                if m:
+                    time_col = time_col or path_to_column(m.group(1))
+                elif not time_col:
+                    raise ValidationError(
+                        f"VALIDATION_0008: {name}: timeDriver {driver_el!r} "
+                        "is processing-time; a deterministic port needs a "
+                        "stage_overrides 'time_col' (record-time basis)"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "fs_dir_template_target",
+                        "in": ins[0],
+                        "base_dir": base,
+                        "dir_path_template": tpl,
+                        "time_col": time_col,
+                        "unique_prefix": conf.get(pfx + "uniquePrefix", "sdc"),
+                        "file_name_suffix": conf.get(pfx + "fileNameSuffix", ""),
+                        **{
+                            k: v
+                            for k, v in ov.items()
+                            if k not in ("base_dir", "dir_path_template", "time_col")
+                        },
                     }
                 )
             elif "JdbcDTarget" in klass or "KuduDTarget" in klass:

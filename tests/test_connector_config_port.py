@@ -416,3 +416,113 @@ def test_jdbc_and_kudu_targets_port_to_lake_merge(spark, tmp_path):
     # idempotent re-apply: the commit key no-ops the second run
     meters2 = spec.run_targets()
     assert meters2["Jdbc_01"].get("noop") or meters2["Jdbc_01"]["rows_inserted"] == 0
+
+
+def test_kafka_target_port_encodes_with_partition_expression(spark):
+    """KafkaDTarget ported: the EXPRESSION partition strategy's record-EL
+    runs through the EL shim; the target lane carries the encoded producer
+    frame (key/value binary, topic, partition)."""
+    import json as _json
+
+    config = _pipeline(
+        _stage(
+            "Src_01",
+            "com_streamsets_pipeline_stage_origin_dev_DevDSource",
+            {},
+            outs=["L"],
+        ),
+        _stage(
+            "Kafka_01",
+            "com_streamsets_pipeline_stage_destination_kafka_KafkaDTarget",
+            {
+                "conf.topic": "events",
+                "conf.dataFormat": "JSON",
+                "conf.partitionStrategy": "EXPRESSION",
+                "conf.partition": "${record:value('/k') % 3}",
+                "conf.metadataBrokerList": "broker:9092",
+            },
+            ins=["L"],
+        ),
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"k": list(range(9)), "v": [f"v{i}" for i in range(9)]}),
+        os.path.join(d, "part.parquet"),
+    )
+    spec = PipelineSpec.from_sdc_config(
+        config, origin_overrides={"Src_01": {"path": d}}
+    )
+    lanes = spec.build(spark)
+    rows = lanes["Kafka_01"].collect()
+    assert len(rows) == 9
+    assert all(r.topic == "events" for r in rows)
+    for r in rows:
+        body = _json.loads(bytes(r.value))
+        assert r.partition == body["k"] % 3
+
+
+def test_hdfs_target_port_writes_dir_template_layout(spark, tmp_path):
+    """HdfsDTarget ported: dirPathTemplate resolved on the record-time
+    basis (timeDriver = record:value), JSON-lines files land under the
+    resolved directories and round-trip."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    import datetime as dt
+
+    rows = [
+        {"k": i, "ts": dt.datetime(2026, 3, 1 + i % 2, 10, 0, 0)}
+        for i in range(10)
+    ]
+    pq.write_table(
+        pa.table(
+            {"k": [r["k"] for r in rows], "ts": [r["ts"] for r in rows]}
+        ),
+        os.path.join(src_dir, "p.parquet"),
+    )
+    base = str(tmp_path / "out")
+    config = _pipeline(
+        _stage(
+            "Src_01",
+            "com_streamsets_pipeline_stage_origin_dev_DevDSource",
+            {},
+            outs=["L"],
+        ),
+        _stage(
+            "Hdfs_01",
+            "com_streamsets_pipeline_stage_destination_hdfs_HdfsDTarget",
+            {
+                "hdfsTargetConfigBean.hdfsUri": f"file://{base}",
+                "hdfsTargetConfigBean.dirPathTemplate":
+                    "/land/${YYYY()}-${MM()}-${DD()}",
+                "hdfsTargetConfigBean.timeDriver": "${record:value('/ts')}",
+                "hdfsTargetConfigBean.dataFormat": "JSON",
+                "hdfsTargetConfigBean.uniquePrefix": "sdc",
+            },
+            ins=["L"],
+        ),
+    )
+    spec = PipelineSpec.from_sdc_config(
+        config, origin_overrides={"Src_01": {"path": src_dir}}
+    )
+    spec.build(spark)
+    meters = spec.run_targets()
+    assert meters["Hdfs_01"]["files_written"] >= 2
+    got = []
+    for day in ("2026-03-01", "2026-03-02"):
+        d = os.path.join(base, "land", day)
+        assert os.path.isdir(d), f"missing {d}"
+        for f in os.listdir(d):
+            assert f.startswith("sdc_")
+            with open(os.path.join(d, f)) as fh:
+                got += [_json.loads(ln)["k"] for ln in fh]
+    assert sorted(got) == list(range(10))
