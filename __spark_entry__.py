@@ -1892,6 +1892,103 @@ def q_cdc_mongo_oplog_tail(spark, sf_dir):
         srv.close()
 
 
+def q_sdc_ported_cdc_lake(spark, sf_dir):
+    """The day-one CDC acceptance path as a PORTED stock export: a
+    binlog-origin → expression → field-remover → JdbcDTarget pipeline JSON
+    goes through ``from_sdc_config`` (stage_overrides supply table_path +
+    key_columns, standing in for the reference's runtime PK discovery),
+    ``run_targets()`` collapses + MERGEs into the lake (COW, commit-key
+    exactly-once), and the read-back snapshot must equal the sequential-
+    replay oracle — the same SQL that gates the hand-wired
+    ``cdc_lake_merge_final_state``."""
+    from datacollector_spark.lake.table import LakeTable
+    from datacollector_spark.plans.spec import PipelineSpec
+
+    seg = tempfile.mkdtemp(prefix="dcs-ported-seg-")
+    import os
+
+    table_path = os.path.join(tempfile.mkdtemp(prefix="dcs-ported-lake-"), "t")
+    _changelog(spark, sf_dir).write.mode("overwrite").parquet(seg)
+
+    def _stage(name, klass, conf=None, ins=(), outs=()):
+        return {
+            "instanceName": name,
+            "stageName": klass,
+            "configuration": [
+                {"name": k, "value": v} for k, v in (conf or {}).items()
+            ],
+            "inputLanes": list(ins),
+            "outputLanes": list(outs),
+        }
+
+    config = {
+        "pipelineConfig": {
+            "title": "binlog-to-lake",
+            "stages": [
+                _stage(
+                    "Binlog_01",
+                    "com_streamsets_pipeline_stage_origin_mysql_MysqlBinLogDSource",
+                    {},
+                    outs=["L_raw"],
+                ),
+                _stage(
+                    "Expr_01",
+                    "com_streamsets_pipeline_stage_processor_expression_ExpressionDProcessor",
+                    {
+                        "expressionProcessorConfigs": [
+                            {
+                                "fieldToSet": "/text_len",
+                                "expression": "${str:length(record:value('/text'))}",
+                            }
+                        ]
+                    },
+                    ins=["L_raw"],
+                    outs=["L_x"],
+                ),
+                _stage(
+                    "Remover_01",
+                    "com_streamsets_pipeline_stage_processor_fieldfilter_FieldRemoverDProcessor",
+                    {
+                        "filterOperation": "REMOVE",
+                        "fields": ["/text_len", "/old_role", "/old_text",
+                                   "/old_tool", "/old_ts"],
+                    },
+                    ins=["L_x"],
+                    outs=["L_clean"],
+                ),
+                _stage(
+                    "Jdbc_01",
+                    "com_streamsets_pipeline_stage_destination_jdbc_JdbcDTarget",
+                    {
+                        "hikariConfigBean.connectionString": "jdbc:mysql://db/x",
+                        "tableNameTemplate": "transcripts",
+                        "changeLogFormat": "MYSQL_BIN_LOG",
+                        "defaultOperation": "INSERT",
+                    },
+                    ins=["L_clean"],
+                ),
+            ],
+        }
+    }
+    spec = PipelineSpec.from_sdc_config(
+        config,
+        origin_overrides={"Binlog_01": {"path": seg}},
+        stage_overrides={
+            "Jdbc_01": {
+                "table_path": table_path,
+                "key_columns": ["conv_id", "turn_idx"],
+            }
+        },
+    )
+    spec.build(spark)
+    spec.run_targets()
+    return (
+        LakeTable(spark, table_path)
+        .read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
 def q_lookup_redis_kv(spark, sf_dir):
     """Redis KV lookup over a LIVE loopback RESP2 server: nation names are
     seeded as string keys, then every customer row looks up its nation via
@@ -2160,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "origin_es_scroll": q_origin_es_scroll,
         "origin_rabbitmq": q_origin_rabbitmq,
         "origin_salesforce_bulk": q_origin_salesforce_bulk,
+        "sdc_ported_cdc_lake": q_sdc_ported_cdc_lake,
         "origin_mongodb": q_origin_mongodb,
         "sink_mongodb_cdc": q_sink_mongodb_cdc,
         "cdc_mongo_oplog_tail": q_cdc_mongo_oplog_tail,
@@ -2611,6 +2709,11 @@ def oracle_sql() -> dict[str, str]:
         "origin_salesforce_bulk": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_orderkey LIMIT 180
+        """,
+        "sdc_ported_cdc_lake": f"""
+            WITH {_LWW_CTE}
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM last_per_key WHERE op != 2
         """,
         "origin_mongodb": """
             SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS ck,
