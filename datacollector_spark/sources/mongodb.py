@@ -675,6 +675,78 @@ def mongodb_oplog_next_offset(df: DataFrame) -> str | None:
     return f"{t.seconds}::{t.ordinal}"
 
 
+def mongodb_oplog_spool_tail(
+    spark: SparkSession,
+    cfg: MongoOplogConfig,
+    spool_dir: str,
+    offset_path: str,
+    payload_schema: dict[str, str],
+) -> tuple[int, str | None]:
+    """One tail-and-land cycle wiring the oplog into the STREAMING CDC
+    ingest: drain past the durable offset, decode to the engine's changelog
+    envelope (``changelog_formats.decode_mongo_oplog``), extract
+    ``payload_schema`` ({column: spark-sql type}) from the after-image map,
+    and land the batch ATOMICALLY as parquet part-files in the spool dir
+    the ``CdcIngestPipeline`` file stream tails (the HTTP push origin's
+    tmp+rename landing, applied to the oplog).
+
+    The offset file advances only AFTER the segment is visible, so a crash
+    in between re-lands the same events — safe by design: duplicates share
+    (lsn, seq_in_tx), and the pipeline's dedup + LWW collapse + ``s.lsn >
+    t._lsn`` merge guard make re-delivery a no-op on final state
+    (at-least-once landing, exactly-once apply).
+
+    Returns (events_landed, new_offset)."""
+    import json
+    import shutil
+    import uuid
+
+    from datacollector_spark.sources.changelog_formats import decode_mongo_oplog
+
+    last: str | None = None
+    if os.path.exists(offset_path):
+        with open(offset_path) as fh:
+            last = json.load(fh).get("offset") or None
+
+    raw = mongodb_oplog_read_batch(spark, cfg, last_offset=last).persist()
+    try:
+        n = raw.count()
+        if n == 0:
+            return 0, last
+        env = decode_mongo_oplog(raw, "json")
+        payload = [
+            F.col("data")[c].cast(t).alias(c) for c, t in payload_schema.items()
+        ]
+        old = [
+            F.lit(None).cast(t).alias(f"old_{c}")
+            for c, t in payload_schema.items()
+            if c not in ("conv_id", "turn_idx")
+        ]
+        typed = env.select(
+            "op", "lsn", "seq_in_tx", "src_table", "server_id", "commit_ts",
+            *payload, *old,
+        )
+        tag = uuid.uuid4().hex
+        tmp = os.path.join(spool_dir, f".tmp-{tag}")
+        typed.write.parquet(tmp)
+        os.makedirs(spool_dir, exist_ok=True)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f),
+                    os.path.join(spool_dir, f"seg-{tag}-{f}"),
+                )
+        shutil.rmtree(tmp)
+        new_offset = mongodb_oplog_next_offset(raw)
+        otmp = offset_path + ".tmp"
+        with open(otmp, "w") as fh:
+            json.dump({"offset": new_offset}, fh)
+        os.replace(otmp, offset_path)
+        return n, new_offset
+    finally:
+        raw.unpersist()
+
+
 # -------------------------------------------------------------- destination
 
 

@@ -293,3 +293,127 @@ def test_oplog_tail_to_cdc_final_state(spark, mongod):
     delta = mongodb_oplog_read_batch(spark, cfg, last_offset=off)
     rows = delta.collect()
     assert len(rows) == 1 and '"k99"' in rows[0]["json"]
+
+
+def test_oplog_spool_tail_streaming_ingest_exactly_once(spark, mongod, tmp_path):
+    """Live Mongo oplog -> spool landing -> CdcIngestPipeline -> lake:
+    two tail cycles with a durable offset file between them; the final
+    table state equals the sequential replay, an empty cycle lands
+    nothing, and re-landing the same segment (crash between land and
+    offset advance) does not change final state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datacollector_spark.lake.table import LakeTable
+    from datacollector_spark.sources.mongodb import (
+        BsonTimestamp,
+        MongoOplogConfig,
+        mongodb_oplog_spool_tail,
+    )
+    from datacollector_spark.streaming.pipeline import CdcIngestPipeline
+
+    sec = 1_700_000_000
+
+    def entry(i, op, conv, turn, text=None):
+        o = {"conv_id": conv, "turn_idx": str(turn)}
+        if op != "d":
+            o.update(
+                {"role": "user", "text": text, "tool": "",
+                 "ts": "2026-03-01 10:00:00"}
+            )
+        d = {"ts": BsonTimestamp(sec + i, 1), "op": op, "ns": "db.tr",
+             "o": o, "h": i}
+        if op == "u":
+            d["o2"] = {"conv_id": conv, "turn_idx": str(turn)}
+        return d
+
+    batch1 = [entry(i, "i", f"c{i % 5}", i // 5, f"t{i}") for i in range(20)]
+    mongod.seed("local", "oplog.rs", batch1)
+
+    payload = {
+        "conv_id": "string", "turn_idx": "int", "role": "string",
+        "text": "string", "tool": "string", "ts": "timestamp",
+    }
+    schema = T.StructType(
+        [
+            T.StructField("op", T.IntegerType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("seq_in_tx", T.IntegerType()),
+            T.StructField("src_table", T.StringType()),
+            T.StructField("server_id", T.LongType()),
+            T.StructField("commit_ts", T.TimestampType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("old_role", T.StringType()),
+            T.StructField("old_text", T.StringType()),
+            T.StructField("old_tool", T.StringType()),
+            T.StructField("old_ts", T.TimestampType()),
+        ]
+    )
+    spool = str(tmp_path / "spool")
+    offset_path = str(tmp_path / "oplog.offset")
+    cfg = MongoOplogConfig("127.0.0.1", mongod.port, num_partitions=2)
+
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "lake"),
+        T.StructType([f for f in schema.fields if f.name not in
+                      ("op", "lsn", "seq_in_tx", "src_table", "server_id",
+                       "commit_ts") and not f.name.startswith("old_")]),
+        ["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    import os
+
+    os.makedirs(spool)
+    n1, off1 = mongodb_oplog_spool_tail(spark, cfg, spool, offset_path, payload)
+    assert n1 == 20 and off1 == f"{sec + 19}::1"
+
+    pipe = CdcIngestPipeline(
+        spark, spool, table, str(tmp_path / "ckpt"), source_schema=schema
+    )
+    pipe.run_available_now(timeout_s=300)
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in table.refresh().read().collect()
+    }
+    assert got == {(f"c{i % 5}", i // 5): f"t{i}" for i in range(20)}
+
+    # cycle 2: updates + deletes land past the durable offset
+    batch2 = [entry(100 + j, "u", f"c{j}", 0, f"new{j}") for j in range(3)]
+    batch2 += [entry(200, "d", "c4", 0)]
+    mongod.seed("local", "oplog.rs", batch2)
+    seg_before = set(os.listdir(spool))
+    n2, off2 = mongodb_oplog_spool_tail(spark, cfg, spool, offset_path, payload)
+    assert n2 == 4 and off2 == f"{sec + 200}::1"
+    pipe.run_available_now(timeout_s=300)
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in table.refresh().read().collect()
+    }
+    expect = {(f"c{i % 5}", i // 5): f"t{i}" for i in range(20)}
+    for j in range(3):
+        expect[(f"c{j}", 0)] = f"new{j}"
+    del expect[("c4", 0)]
+    assert got == expect
+
+    # crash-shaped duplicate: re-land cycle 2's segment files; LWW + the
+    # lsn merge guard make the replay a no-op on final state
+    for f in set(os.listdir(spool)) - seg_before:
+        shutil.copy(os.path.join(spool, f), os.path.join(spool, "dup-" + f))
+    pipe.run_available_now(timeout_s=300)
+    got2 = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in table.refresh().read().collect()
+    }
+    assert got2 == expect
+
+    # quiet cycle: nothing new, offset unchanged
+    n3, off3 = mongodb_oplog_spool_tail(spark, cfg, spool, offset_path, payload)
+    assert n3 == 0 and off3 == off2
