@@ -417,3 +417,70 @@ def test_oplog_spool_tail_streaming_ingest_exactly_once(spark, mongod, tmp_path)
     # quiet cycle: nothing new, offset unchanged
     n3, off3 = mongodb_oplog_spool_tail(spark, cfg, spool, offset_path, payload)
     assert n3 == 0 and off3 == off2
+
+
+def test_spark_submit_mongo_cdc_job(spark, mongod, tmp_path):
+    """The north-star launch contract for the Mongo CDC path: package the
+    engine, launch jobs/run_mongo_cdc.py through spark-submit --py-files
+    against the live loopback mongod, assert the oplog lands in the lake."""
+    import json as _json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    from datacollector_spark.sources.mongodb import BsonTimestamp
+    from tools.package import build
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    import pyspark
+
+    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if not (spark_submit and os.path.exists(spark_submit)) and os.path.exists(cand):
+        spark_submit = cand
+    if not (spark_submit and os.path.exists(spark_submit)):
+        _pytest.skip("spark-submit not found")
+
+    sec = 1_700_000_000
+    entries = [
+        {"ts": BsonTimestamp(sec + i, 1), "op": "i", "ns": "db.tr",
+         "o": {"conv_id": f"c{i % 4}", "turn_idx": str(i // 4),
+               "role": "user", "text": f"t{i}", "tool": "",
+               "ts": "2026-03-01 10:00:00"},
+         "h": i}
+        for i in range(24)
+    ]
+    mongod.seed("local", "oplog.rs", entries)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = build(str(tmp_path / "dist" / "datacollector_spark.zip"))
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]", "--py-files", zip_path,
+            os.path.join(repo, "jobs", "run_mongo_cdc.py"),
+            "--mongo-host", "127.0.0.1",
+            "--mongo-port", str(mongod.port),
+            "--spool", str(tmp_path / "spool"),
+            "--offset-file", str(tmp_path / "oplog.offset"),
+            "--table", str(tmp_path / "table"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--buckets", "4",
+            "--num-partitions", "2",
+            "--cycles", "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [
+        l for l in proc.stdout.splitlines() if l.startswith("MONGO_CDC_RESULT ")
+    ]
+    assert line, proc.stdout[-2000:]
+    res = _json.loads(line[0][len("MONGO_CDC_RESULT "):])
+    assert res["events_landed"] == 24 and res["rows"] == 24
+    assert res["offset"] == f"{sec + 23}::1"
