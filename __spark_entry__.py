@@ -2195,6 +2195,216 @@ def q_multimodal_frame_sampling(spark, sf_dir):
     return sample_video_frames(synthesize_media(spark, n=256), every_ms=1000)
 
 
+def q_origin_http_push(spark, sf_dir):
+    """HTTP Server push origin over a LIVE listener (sources/http.
+    HttpServerOrigin; reference basic-lib/.../origin/httpserver/
+    HttpServerPushSource.java + PushHttpReceiver.java): the first 150
+    events are POSTed from 3 executor partitions as gzip-compressed
+    JSON-lines bodies (X-SDC-APPLICATION-ID validated, X-SDC-COMPRESSION
+    decompressed server-side), each landing atomically in the spool, then
+    read back distributed through the same file source the streaming
+    pipeline uses."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datacollector_spark.sources.http import HttpServerOrigin
+    from datacollector_spark.sources.spooldir import spool_dir_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(150)
+        .repartition(3)
+    )
+    spool = tempfile.mkdtemp(prefix="httppush_gate_")
+    origin = HttpServerOrigin(spool, app_id="gate")
+    url, app = origin.url, "gate"
+
+    def post_partition(rows):
+        import gzip as _gzip
+        import json as _json
+        import urllib.request as _rq
+
+        lines = [
+            _json.dumps(
+                {"event_id": r.event_id, "event_type": r.event_type, "value": r.value}
+            )
+            for r in rows
+        ]
+        if not lines:
+            return
+        body = _gzip.compress(("\n".join(lines) + "\n").encode())
+        req = _rq.Request(
+            url,
+            data=body,
+            headers={
+                "X-SDC-APPLICATION-ID": app,
+                "X-SDC-COMPRESSION": "gzip",
+                "Content-Type": "application/json",
+            },
+            method="POST",
+        )
+        with _rq.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+
+    try:
+        src.foreachPartition(post_partition)
+    finally:
+        origin.stop()
+    return spool_dir_batch(
+        spark, spool, schema=schema, file_format="json"
+    ).localCheckpoint()
+
+
+def q_origin_websocket_push(spark, sf_dir):
+    """WebSocket Server push origin over a LIVE RFC 6455 listener
+    (sources/http.WebSocketServerOrigin; reference basic-lib/.../origin/
+    websocketserver/WebSocketServerPushSource.java + PushWebSocketReceiver
+    .java): the first 120 events are sent from 3 executor partitions, each
+    partition opening its own socket, handshaking (Sec-WebSocket-Accept
+    verified client-side), and pushing its rows as ONE masked text message
+    of JSON lines — the first fragmented across a continuation frame to
+    exercise reassembly. The close handshake is the fence: the server
+    processes frames in order, so the echoed close proves the message
+    landed before stop()."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datacollector_spark.sources.http import WebSocketServerOrigin
+    from datacollector_spark.sources.spooldir import spool_dir_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(120)
+        .repartition(3)
+    )
+    spool = tempfile.mkdtemp(prefix="wspush_gate_")
+    origin = WebSocketServerOrigin(spool, app_id="gate")
+    host, port, app = origin.host, origin.port, "gate"
+
+    def send_partition(rows):
+        import base64 as _b64
+        import hashlib as _hl
+        import json as _json
+        import socket as _sock
+
+        lines = [
+            _json.dumps(
+                {"event_id": r.event_id, "event_type": r.event_type, "value": r.value}
+            )
+            for r in rows
+        ]
+        if not lines:
+            return
+
+        def frame(payload, opcode=0x1, fin=True, mask=b"\x37\xfa\x21\x3d"):
+            head = bytes([(0x80 if fin else 0) | opcode])
+            n = len(payload)
+            if n < 126:
+                head += bytes([0x80 | n])
+            elif n < 1 << 16:
+                head += bytes([0x80 | 126]) + n.to_bytes(2, "big")
+            else:
+                head += bytes([0x80 | 127]) + n.to_bytes(8, "big")
+            return head + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+
+        key = "dGhlIHNhbXBsZSBub25jZQ=="
+        s = _sock.create_connection((host, port), timeout=30)
+        try:
+            s.sendall(
+                (
+                    "GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                    f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                    "Sec-WebSocket-Version: 13\r\n"
+                    f"X-SDC-APPLICATION-ID: {app}\r\n\r\n"
+                ).encode()
+            )
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = s.recv(4096)
+                if not chunk:
+                    raise IOError("handshake EOF")
+                resp += chunk
+            expect = _b64.b64encode(
+                _hl.sha1((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()).digest()
+            ).decode()
+            assert f"Sec-WebSocket-Accept: {expect}".encode() in resp
+            body = ("\n".join(lines) + "\n").encode()
+            # fragment: text FIN=0 + continuation FIN=1 (reassembly path)
+            s.sendall(frame(body[: len(body) // 2], opcode=0x1, fin=False))
+            s.sendall(frame(body[len(body) // 2 :], opcode=0x0, fin=True))
+            s.sendall(frame(b"", opcode=0x8))  # close = ordering fence
+            assert s.recv(16)[:1] == b"\x88"
+        finally:
+            s.close()
+
+    try:
+        src.foreachPartition(send_partition)
+    finally:
+        origin.stop()
+    return spool_dir_batch(
+        spark, spool, schema=schema, file_format="json"
+    ).localCheckpoint()
+
+
+def q_format_syslog_datagram(spark, sf_dir):
+    """DATAGRAM format, syslog mode (basic-lib/.../origin/udp/UDPSource.java
+    fast path; commonlib syslog parse): every event row is rendered as an
+    RFC 3164 datagram line (<pri>ts host app[pid]: msg) and parsed back
+    JVM-side with parse_log + SYSLOG_PATTERN — facility/severity recovered
+    from the priority octet. Stays entirely in whole-stage codegen (concat
+    + regexp_extract), no Python in the hot path."""
+    from datacollector_spark.sources.formats import (
+        SYSLOG_GROUPS,
+        SYSLOG_PATTERN,
+        parse_log,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    datagrams = e.select(
+        F.concat(
+            F.lit("<"),
+            F.pmod("event_id", F.lit(191)).cast("string"),
+            F.lit(">Mar 15 10:00:00 host-"),
+            F.pmod("event_id", F.lit(50)).cast("string"),
+            F.lit(" "),
+            F.col("event_type"),
+            F.lit("["),
+            F.col("event_id").cast("string"),
+            F.lit("]: ev "),
+            F.col("event_type"),
+        ).alias("line")
+    )
+    parsed = parse_log(datagrams, "line", SYSLOG_PATTERN, SYSLOG_GROUPS)
+    return parsed.select(
+        F.col("pid").cast("long").alias("event_id"),
+        (F.col("pri").cast("int") / 8).cast("int").alias("facility"),
+        F.pmod(F.col("pri").cast("int"), F.lit(8)).alias("severity"),
+        F.col("host"),
+        F.col("app"),
+        F.col("message"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2250,6 +2460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_ported_config_2": q_el_ported_config_2,
         "sdc_ported_dedup_fanin": q_sdc_ported_dedup_fanin,
         "origin_http_paginated": q_origin_http_paginated,
+        "origin_http_push": q_origin_http_push,
+        "origin_websocket_push": q_origin_websocket_push,
+        "format_syslog_datagram": q_format_syslog_datagram,
         "origin_s3_spool": q_origin_s3_spool,
         "origin_sdcipc": q_origin_sdcipc,
         "format_avro_ocf": q_format_avro_ocf,
@@ -2685,6 +2898,23 @@ def oracle_sql() -> dict[str, str]:
         "origin_sdcipc": """
             SELECT o_orderkey, o_orderstatus, o_totalprice
             FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 150)
+        """,
+        "origin_http_push": """
+            SELECT event_id, event_type, value
+            FROM events ORDER BY event_id LIMIT 150
+        """,
+        "origin_websocket_push": """
+            SELECT event_id, event_type, value
+            FROM events ORDER BY event_id LIMIT 120
+        """,
+        "format_syslog_datagram": """
+            SELECT event_id,
+                   CAST((event_id % 191) // 8 AS INT) AS facility,
+                   CAST((event_id % 191) % 8 AS INT) AS severity,
+                   'host-' || CAST(event_id % 50 AS VARCHAR) AS host,
+                   event_type AS app,
+                   'ev ' || event_type AS message
+            FROM events
         """,
         "format_avro_ocf": """
             SELECT event_id, ts, event_type, value FROM events

@@ -566,6 +566,22 @@ def main() -> None:
         )
     )
 
+    # syslog datagram render->parse: one scan pass, pure codegen, no Python
+    p = plan_of(qs["format_syslog_datagram"](spark, sf_dir))
+    checks.append(
+        (
+            "syslog datagram format (render -> regex parse, JVM-only)",
+            p,
+            [
+                ("no shuffle", len(re.findall(r"\(\d+\) Exchange\b", p)) == 0),
+                ("no Python in the hot path",
+                 "BatchEvalPython" not in p and "MapInPandas" not in p),
+                ("column pruning at the scan",
+                 "ReadSchema: struct<event_id:bigint,event_type:string>" in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
