@@ -110,6 +110,13 @@ last_per_key AS (
 _MD5LONG = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
 
 
+def _md5_salt_sql(id_expr: str, salt: str) -> str:
+    """DuckDB twin of hashing.md5_long(col, salt=...) for an id column."""
+    from datacollector_spark.functions.hashing import md5_long_sql
+
+    return md5_long_sql(f"CAST({id_expr} AS VARCHAR)", salt)
+
+
 def _minhash_pairs_cte_block(num_hashes=32, bands=8, threshold=0.4) -> str:
     """CTE chain ending in pairs(id_a, id_b, jaccard) — shared by the
     minhash-LSH oracle and the connected-components oracle. Same md5-derived
@@ -2121,6 +2128,69 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN — inverted lists under a coarse quantizer, the nprobe<nlist
+    APPROXIMATE scale path (operators/similarity.ivf_ann_topk). The
+    quantizer is deterministic at kmeans_iters=0 (seed centroids = the
+    nlist smallest-id vectors), so the oracle recomputes assignment, probe
+    selection, and candidate scoring exactly in SQL — an approximate-index
+    result verified bit-for-bit, not just recall-checked."""
+    from datacollector_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.where(F.col("vec_id") < 8), dim=64, k=5, nlist=8, nprobe=2
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (curation.decontaminate): docs with
+    doc_id % 37 == 0 play the eval set; every remaining training doc is
+    flagged if it shares any word 4-gram (production uses 13-grams; the
+    synthetic corpus needs a smaller n to have signal). Join keys are
+    md5-60bit shingle hashes, so the oracle reproduces the exact match
+    set."""
+    from datacollector_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        n=4,
+    )
+    return out.select(
+        "doc_id", "contaminated", F.col("n_matched").cast("long").alias("n_matched")
+    )
+
+
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum rate sampling (curation.stratified_sample,
+    fraction mode): training-mix construction by language with hash-
+    threshold membership — rerun-stable, growth-stable, zero shuffles."""
+    from datacollector_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        fractions={"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_fraction=0.1,
+        salt="mix-v1",
+    ).select("doc_id", "lang")
+
+
+def q_corpus_stratified_take(spark, sf_dir):
+    """Deterministic reservoir (stratified_sample exact_n mode): the N
+    smallest-(hash,id) rows per stratum — exact per-source quotas for a
+    training mix, reproducible across engines."""
+    from datacollector_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        exact_n={"src0": 5, "src1": 3},
+    ).select("doc_id", "source")
+
+
 def q_text_quality(spark, sf_dir):
     from datacollector_spark.operators.text import quality_features
 
@@ -2480,6 +2550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hash_split": q_corpus_hash_split,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_stratified_take": q_corpus_stratified_take,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -2776,6 +2850,85 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q, embeddings c
               WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)
             WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)),
+            assigned AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT c.vec_id, c.embedding, ct.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]), ct.cv) DESC,
+                         ct.cid) AS rn
+                FROM embeddings c, cent ct)
+              WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+                SELECT q.vec_id, q.embedding, ct.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]), ct.cv) DESC,
+                         ct.cid) AS rn
+                FROM embeddings q, cent ct WHERE q.vec_id < 8)
+              WHERE rn <= 2),
+            scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                            CAST(a.embedding AS DOUBLE[])) AS cos
+              FROM probes p JOIN assigned a
+                ON a.cid = p.cid AND a.vec_id != p.query_id)
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank FROM (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "corpus_decontaminate": f"""
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 3), ' ') AS s
+              FROM docs, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+              WHERE len(w) >= 4
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
+              FROM docs WHERE len(w) < 4),
+            hashed AS (
+              SELECT doc_id, {_MD5LONG.format(x='s')} AS h FROM sh),
+            bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 37 = 0),
+            matched AS (
+              SELECT c.doc_id, count(DISTINCT c.h) AS n_matched
+              FROM hashed c JOIN bench b ON c.h = b.h
+              WHERE c.doc_id % 37 != 0 GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(m.n_matched, 0) > 0 AS contaminated,
+                   CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched
+            FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+            WHERE d.doc_id % 37 != 0
+        """,
+        "corpus_stratified_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                CAST({_md5_salt_sql("doc_id", "mix-v1")} AS DOUBLE)
+                  / {float(1 << 60)!r} AS u
+              FROM documents)
+            WHERE u < (CASE lang WHEN 'de' THEN {1.0!r} WHEN 'en' THEN {0.5!r}
+                       WHEN 'fr' THEN {0.25!r} ELSE {0.1!r} END)
+        """,
+        "corpus_stratified_take": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY {_md5_salt_sql("doc_id", "sample-v1")}, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= (CASE source WHEN 'src0' THEN 5
+                         WHEN 'src1' THEN 3 ELSE 0 END)
         """,
         "text_quality": f"""
             WITH feat AS (

@@ -12,7 +12,7 @@ stages as (id)-keyed frames and the final anti-joins are id-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datacollector_spark.operators.dedup import (
@@ -31,6 +31,8 @@ def curate_corpus(
     languages: list[str] | None = None,
     minhash_threshold: float = 0.6,
     max_bucket_size: int | None = 1_000,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
 ) -> tuple[DataFrame, dict]:
     """Curate a document corpus; returns (survivors, stage_counts).
 
@@ -40,6 +42,10 @@ def curate_corpus(
       3. exact dedup   — one representative per byte-identical text
       4. near-dup      — minhash-LSH pairs at ``minhash_threshold`` Jaccard,
                          connected components, keep min-id per cluster
+      5. decontamination — if ``benchmark`` is given, drop survivors
+                         sharing any ``decontaminate_n``-gram with it
+                         (:func:`decontaminate`); runs LAST so the eval
+                         sweep only scans the already-deduped survivor set
 
     ``max_bucket_size`` caps each minhash band bucket (the mega-bucket
     defense for near-identical-but-UNEQUAL clusters that survive stage 3 —
@@ -85,6 +91,19 @@ def curate_corpus(
     )
     survivors = dedup_corpus_by_pairs(deduped, pairs, id_col).persist()
     counts["after_neardup"] = survivors.count()
+    if benchmark is not None:
+        flagged = decontaminate(
+            survivors, benchmark, id_col=id_col, text_col=text_col,
+            n=decontaminate_n,
+        )
+        clean = (
+            flagged.where(~F.col("contaminated"))
+            .drop("contaminated", "n_matched")
+            .persist()
+        )
+        counts["after_decontaminate"] = clean.count()
+        survivors.unpersist()
+        survivors = clean
     if max_bucket_size is not None:
         # a capped run is a RECALL change (over-cap band buckets drop
         # candidate pairs), not just a performance guard — record it so
@@ -95,6 +114,109 @@ def curate_corpus(
     kept.unpersist()
     deduped.unpersist()
     return survivors, counts
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an eval/benchmark set (the GPT-3/Pile 13-gram rule —
+    at test scale use a smaller ``n``). Returns the corpus with
+    ``contaminated`` (bool) and ``n_matched`` (distinct matched n-grams).
+
+    Scale shape: benchmark n-grams hash to 60-bit longs (md5-derived, so
+    the SQL oracle reproduces the exact join keys) and are distinct —
+    eval suites are tiny next to a training corpus, so the benchmark side
+    broadcasts (``broadcast_benchmark=False`` falls back to a shuffle
+    join for pathological benchmark sizes). The corpus side explodes its
+    shingles map-side into the broadcast join; only MATCHED rows (rare)
+    reach the per-doc aggregate, and the verdict joins back to the corpus
+    by id (AQE broadcasts the tiny matched side). Two corpus scans, zero
+    corpus shuffles."""
+    from datacollector_spark.functions.hashing import md5_long, word_shingles
+
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+        )
+        .select(md5_long(F.col("_s")).alias("_bh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    doc_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    ).select(id_col, md5_long(F.col("_s")).alias("_h"))
+    matched = (
+        doc_shingles.join(bench, F.col("_h") == F.col("_bh"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("_h").alias("n_matched"))
+    )
+    return (
+        corpus.join(matched, id_col, "left")
+        .withColumn("n_matched", F.coalesce(F.col("n_matched"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_matched") > 0)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | None = None,
+    exact_n: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction —
+    per-stratum rates with the :func:`hash_split` stability contract (pure
+    function of (id, salt): rerun-stable, growth-stable, engine-
+    reproducible; never ``sample()``, whose membership shifts with
+    partitioning).
+
+    Exactly one of:
+      * ``fractions`` — {stratum: keep_fraction}; keep iff
+        u(id) < fraction, unlisted strata get ``default_fraction``.
+        One projection + filter, NO shuffle: fuses into the scan.
+      * ``exact_n`` — {stratum: row_count}; the n rows with the smallest
+        (hash, id) per stratum — a deterministic reservoir. One shuffle
+        (the per-stratum window); unlisted strata are dropped.
+    """
+    from datacollector_spark.functions.hashing import md5_long
+
+    if (fractions is None) == (exact_n is None):
+        raise ValueError("pass exactly one of fractions / exact_n")
+    h = md5_long(F.col(id_col).cast("string"), salt=salt)
+    if fractions is not None:
+        for name, f in fractions.items():
+            if not 0.0 <= f <= 1.0:
+                raise ValueError(f"fraction for {name!r} out of [0,1]: {f}")
+        u = h / F.lit(float(1 << 60))
+        rate = F.lit(float(default_fraction))
+        # deterministic build order so the generated plan (and its SQL
+        # twin) is stable regardless of dict ordering
+        for name in sorted(fractions):
+            rate = F.when(
+                F.col(strata_col) == name, F.lit(float(fractions[name]))
+            ).otherwise(rate)
+        return df.where(u < rate)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    quota = F.lit(0)
+    for name in sorted(exact_n):
+        quota = F.when(
+            F.col(strata_col) == name, F.lit(int(exact_n[name]))
+        ).otherwise(quota)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
 
 
 def hash_split(

@@ -1,10 +1,12 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k is the exact baseline (one broadcast of the query
-set, one pass over the corpus, per-row top-k via window). The scale path is
-LSH bucketing (random hyperplanes): corpus and queries hash to sign-pattern
+set, one pass over the corpus, per-row top-k via window). Two scale paths:
+LSH bucketing (random hyperplanes — corpus and queries hash to sign-pattern
 buckets; only same-bucket candidates are scored, cutting the scored pairs by
-~2^planes. All vector math is JVM-side higher-order array functions
+~2^planes) and IVF (inverted lists under a coarse quantizer — deterministic
+seed centroids with optional Lloyd refinement; queries probe their nprobe
+nearest lists). All vector math is JVM-side higher-order array functions
 (zip_with/aggregate) — no UDF, no Python.
 """
 
@@ -136,6 +138,172 @@ def lsh_ann_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine").cast("double"), "rank")
+    )
+
+
+def _centroid_scores(
+    v: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<cid,cos>>: cosine of ``v`` against every centroid.
+
+    The centroid table is inlined as literals (it is driver-side metadata,
+    O(nlist x dim) doubles), so the whole scoring is one JVM projection —
+    computed ONCE per centroid via transform (never inside a fold lambda,
+    where it would re-evaluate per element)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    vd = v.cast("array<double>")
+    return F.transform(
+        arr,
+        lambda c: F.struct(
+            c["cid"].alias("cid"), cosine(vd, c["cv"]).alias("cos")
+        ),
+    )
+
+
+def nearest_centroid(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine centroid id for ``v`` — strictly-greater fold over the
+    cid-ascending score array, so exact ties deterministically go to the
+    LOWEST cid (the SQL twin orders ``cos DESC, cid ASC``)."""
+    init = F.struct(
+        F.lit(-1).alias("cid"), F.lit(-2.0).cast("double").alias("cos")
+    )
+    return F.aggregate(
+        _centroid_scores(v, cents),
+        init,
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
+    )["cid"]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    kmeans_iters: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer centroids for IVF: seeded deterministically with the
+    ``nlist`` smallest-id vectors, optionally refined with Lloyd iterations.
+
+    Determinism contract: at ``kmeans_iters=0`` the centroids are a pure
+    function of the data (engine-reproducible — the gate query's oracle
+    recomputes them in SQL). Lloyd refinement (``kmeans_iters>0``) improves
+    cluster balance but the per-dimension means are fp-order dependent, so
+    refined runs are verified by recall tests, not hash oracles.
+
+    Scale shape: each iteration is one corpus projection (the assignment is
+    a literal-table argmax, no shuffle) + one hash aggregate producing
+    nlist x dim partial means (map-side combine; the shuffle carries nlist
+    rows). The only driver traffic is the O(nlist x dim) centroid table."""
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_id")
+        .limit(nlist)
+        .collect()
+    )
+    cents = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
+    for _ in range(kmeans_iters):
+        assigned = corpus.select(
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            nearest_centroid(F.col(vec_col), cents).alias("_cid"),
+        )
+        rows = (
+            assigned.groupBy("_cid")
+            .agg(*[F.avg(F.col("_v")[d]).alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        means = {r["_cid"]: [float(r[f"d{d}"]) for d in range(dim)] for r in rows}
+        # empty clusters keep their previous centroid
+        cents = [(cid, means.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 0,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: an inverted-file index over a coarse
+    quantizer. Corpus vectors are assigned to their nearest centroid
+    (one projection — the centroid table rides the closure as literals);
+    each query probes its ``nprobe`` closest centroids and scores only
+    vectors filed under those, cutting scored pairs to ~nprobe/nlist of
+    brute force.
+
+    100 TB plan shape: ONE corpus scan, ZERO corpus shuffles — assignment
+    fuses into the scan, the probe table (queries x nprobe) is broadcast,
+    and the only exchange is the per-query top-k window over the pruned
+    candidate set. ``nprobe=nlist`` degrades gracefully to exact brute
+    force (the gate oracle checks the nprobe<nlist path bit-for-bit via
+    the deterministic quantizer)."""
+    cents = centroids or train_ivf_centroids(
+        corpus, dim, id_col, vec_col, nlist=nlist, kmeans_iters=kmeans_iters
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        nearest_centroid(F.col(vec_col), cents).alias("_ccid"),
+    )
+    # cos DESC, cid ASC — the deterministic probe order (oracle twin:
+    # row_number() OVER (ORDER BY cos DESC, cid))
+    ordered = F.array_sort(
+        _centroid_scores(F.col(vec_col), cents),
+        lambda x, y: F.when(x["cos"] > y["cos"], F.lit(-1))
+        .when(x["cos"] < y["cos"], F.lit(1))
+        .when(x["cid"] < y["cid"], F.lit(-1))
+        .when(x["cid"] > y["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(F.slice(ordered, 1, nprobe), lambda c: c["cid"])
+        ).alias("_qcid"),
+    )
+    # each corpus vector lives in exactly one inverted list and probe cids
+    # are distinct per query, so no (query, neighbor) pair repeats — no
+    # dropDuplicates pass needed (unlike multi-probe LSH)
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("_ccid") == F.col("_qcid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            cosine(
+                F.col("_qv").cast("array<double>"),
+                F.col("_cv").cast("array<double>"),
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -3,7 +3,8 @@
     spark-submit --py-files dist/datacollector_spark.zip \
         jobs/curate_corpus.py --input /path/documents.parquet \
         --output /path/curated [--min-quality 0.25] [--languages en,de]
-        [--minhash-threshold 0.6]
+        [--minhash-threshold 0.6] [--benchmark /path/eval.parquet
+        --decontaminate-n 13]
 
 Prints one CURATE_RESULT JSON line with per-stage counts.
 """
@@ -29,6 +30,13 @@ def main() -> None:
         default=1000,
         help="minhash band-bucket cap (mega-bucket defense); 0 = uncapped",
     )
+    ap.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet path of an eval/benchmark set; survivors sharing any "
+        "word n-gram with it are dropped (decontamination stage)",
+    )
+    ap.add_argument("--decontaminate-n", type=int, default=13)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,6 +59,10 @@ def main() -> None:
         languages=args.languages.split(",") if args.languages else None,
         minhash_threshold=args.minhash_threshold,
         max_bucket_size=args.max_bucket_size or None,
+        benchmark=(
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        ),
+        decontaminate_n=args.decontaminate_n,
     )
     survivors.write.mode("overwrite").parquet(args.output)
     print("CURATE_RESULT " + json.dumps(counts))

@@ -1,0 +1,222 @@
+"""IVF ANN, benchmark decontamination, and stratified sampling — the
+round-5 training-mix additions (operators/similarity.ivf_ann_topk,
+operators/curation.decontaminate / stratified_sample)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------------- IVF ANN
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """nprobe == nlist degrades to exact search — the IVF plumbing
+    (assign -> route -> score -> topk) proven against the exact oracle."""
+    from datacollector_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    q = emb.where(F.col("vec_id") < 8)
+    full = ivf_ann_topk(emb, q, dim=64, k=5, nlist=8, nprobe=8)
+    bf = cosine_topk(emb, q, k=5)
+    assert full.exceptAll(bf).count() == 0
+    assert bf.exceptAll(full).count() == 0
+
+
+def test_ivf_recall_at_nprobe_2(spark, emb):
+    from datacollector_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    q = emb.where(F.col("vec_id") < 8)
+    bf = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    appx = ivf_ann_topk(emb, q, dim=64, k=5, nlist=8, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    hits = appx.intersect(bf).count()
+    total = bf.count()
+    # quarter of the lists probed; random-ish synthetic embeddings still
+    # keep most true neighbors in the top-2 lists
+    assert hits / total >= 0.75
+    # and the candidate set really is pruned: fewer scored pairs than
+    # brute force would produce for at least one query
+    assert appx.count() <= total
+
+
+def test_ivf_kmeans_refinement_runs_and_stays_valid(spark, emb):
+    from datacollector_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, 64, nlist=4, kmeans_iters=2)
+    assert len(cents) == 4 and all(len(v) == 64 for _, v in cents)
+    q = emb.where(F.col("vec_id") < 4)
+    out = ivf_ann_topk(emb, q, dim=64, k=3, nlist=4, nprobe=2, centroids=cents)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_ivf_assignment_deterministic_tiebreak(spark):
+    """Two centroids at the SAME point: every vector must file under the
+    lower cid (strictly-greater fold == SQL 'cos DESC, cid ASC')."""
+    from datacollector_spark.operators.similarity import nearest_centroid
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8])], ["id", "v"]
+    )
+    cents = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [-1.0, -1.0])]
+    got = df.select(
+        nearest_centroid(F.col("v").cast("array<double>"), cents).alias("cid")
+    ).collect()
+    assert [r["cid"] for r in got] == [0, 0]
+
+
+# ------------------------------------------------------------ decontaminate
+def test_decontaminate_planted_overlap(spark):
+    from datacollector_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 4-gram "quick brown fox jumps"
+            (1, "a quick brown fox jumps high today"),
+            # shares two distinct benchmark 4-grams
+            (2, "the quick brown fox jumps over a fence"),
+            # no 4-gram overlap (words overlap, grams don't)
+            (3, "fox dog quick lazy brown the over jumps"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["contaminated"], r["n_matched"])
+        for r in decontaminate(corpus, bench, n=4).collect()
+    }
+    assert out[1] == (True, 1)
+    assert out[2][0] is True and out[2][1] >= 2
+    assert out[3] == (False, 0)
+
+
+def test_decontaminate_short_doc_whole_text_shingle(spark):
+    """Docs shorter than n words fall back to the whole text as one
+    shingle (word_shingles contract) — a verbatim short benchmark string
+    in the corpus is still caught."""
+    from datacollector_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "two words"), (11, "other words")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, n=13).collect()
+    }
+    assert out == {10: True, 11: False}
+
+
+def test_decontaminate_shuffle_join_variant_matches(spark):
+    from datacollector_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corp = docs.where(F.col("doc_id") % 11 != 0)
+    a = decontaminate(corp, bench, n=3).select("doc_id", "n_matched")
+    b = decontaminate(corp, bench, n=3, broadcast_benchmark=False).select(
+        "doc_id", "n_matched"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_curate_corpus_with_decontamination_stage(spark):
+    """curate_corpus(benchmark=...) drops survivors sharing any n-gram with
+    the eval set and reports the stage count."""
+    from datacollector_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corp = docs.where(F.col("doc_id") % 11 != 0)
+    survivors, counts = curate_corpus(
+        corp,
+        min_quality=0.1,
+        minhash_threshold=0.5,
+        benchmark=bench,
+        decontaminate_n=3,
+    )
+    assert "after_decontaminate" in counts
+    assert counts["after_decontaminate"] <= counts["after_neardup"]
+    assert survivors.count() == counts["after_decontaminate"]
+    assert set(survivors.columns) == set(corp.columns)
+    survivors.unpersist()
+
+
+# -------------------------------------------------------- stratified_sample
+def test_stratified_fractions_growth_stable(spark):
+    """Membership is a pure function of (id, salt): adding rows later never
+    flips existing rows in or out (the hash_split stability contract)."""
+    from datacollector_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = docs.where(F.col("doc_id") < 30)
+    frac = {"en": 0.5, "de": 1.0}
+    s_small = stratified_sample(small, "lang", fractions=frac).select("doc_id")
+    s_all = stratified_sample(docs, "lang", fractions=frac).select("doc_id")
+    grown = s_all.where(F.col("doc_id") < 30)
+    assert s_small.exceptAll(grown).count() == 0
+    assert grown.exceptAll(s_small).count() == 0
+
+
+def test_stratified_fractions_bounds_and_default(spark):
+    from datacollector_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = stratified_sample(docs, "lang", fractions={"en": 1.0})
+    assert full.where("lang = 'en'").count() == docs.where("lang = 'en'").count()
+    # default_fraction=0.0 drops every unlisted stratum
+    assert full.where("lang != 'en'").count() == 0
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", fractions={"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang")
+    with pytest.raises(ValueError):
+        stratified_sample(
+            docs, "lang", fractions={"en": 0.5}, exact_n={"en": 3}
+        )
+
+
+def test_stratified_exact_n_quotas(spark):
+    from datacollector_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_stratum = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    take = stratified_sample(
+        docs, "source", exact_n={"src0": 3, "src1": 10_000}
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in take.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("src0", 0) == min(3, per_stratum["src0"])
+    # quota above stratum size returns the whole stratum
+    assert counts.get("src1", 0) == per_stratum["src1"]
+    # unlisted strata dropped
+    assert set(counts) <= {"src0", "src1"}
+    # deterministic across runs
+    again = stratified_sample(docs, "source", exact_n={"src0": 3, "src1": 10_000})
+    assert take.exceptAll(again).count() == 0

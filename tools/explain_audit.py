@@ -582,6 +582,60 @@ def main() -> None:
         )
     )
 
+    # IVF ANN: assignment fuses into the scan (no corpus shuffle), probes
+    # broadcast, the only exchange is the per-query top-k window
+    p = plan_of(qs["ann_ivf_topk"](spark, sf_dir))
+    checks.append(
+        (
+            "IVF ANN (inverted-list routing, nprobe<nlist)",
+            p,
+            [
+                ("probe table broadcast (no corpus-side shuffle join)",
+                 "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+                ("single exchange (the top-k window only)",
+                 len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+                ("window partitioned per query",
+                 "hashpartitioning(query_id" in p),
+                ("no Python (assignment is a literal-table argmax)",
+                 "BatchEvalPython" not in p and "MapInPandas" not in p),
+            ],
+        )
+    )
+
+    # decontamination: benchmark side broadcast, corpus explode map-side,
+    # only matched rows shuffle into the per-doc aggregate
+    p = plan_of(qs["corpus_decontaminate"](spark, sf_dir))
+    checks.append(
+        (
+            "benchmark n-gram decontamination",
+            p,
+            [
+                ("benchmark hashes broadcast into the corpus scan",
+                 "BroadcastHashJoin" in p),
+                ("partial per-doc aggregate before the shuffle",
+                 "HashAggregate" in p.split("Exchange")[0]
+                 or "partial_count" in p),
+                ("no Python", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
+    # stratified sampling (fraction mode): a pure scan-fused filter
+    p = plan_of(qs["corpus_stratified_sample"](spark, sf_dir))
+    checks.append(
+        (
+            "stratified sample (fraction mode)",
+            p,
+            [
+                ("no shuffle (hash-threshold filter fuses into the scan)",
+                 len(re.findall(r"\(\d+\) Exchange\b", p)) == 0),
+                ("two-column read only",
+                 "ReadSchema: struct<doc_id:bigint,lang:string>" in p),
+                ("no Python", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
