@@ -588,6 +588,103 @@ def fuzzy_field_map(
     return out
 
 
+def fuzzy_field_rename(
+    df: DataFrame,
+    expected: Sequence[str],
+    threshold: float = 0.6,
+    preserve_unmatched: bool = True,
+) -> DataFrame:
+    """Fuzzy Field processor, in-place single-candidate mode (fuzzy/
+    FuzzyFieldProcessor.java with allCandidates=false, inPlace=true): each
+    desired output name claims its best-matching input column at or above
+    ``threshold`` (greedy, first-expected-wins — the reference scores with
+    FuzzyMatch.getRatio) and that column is renamed in place.
+    ``preserve_unmatched=False`` additionally drops input columns that no
+    desired name claimed (preserveUnmatchedFields). Pure driver-side
+    schema work — zero plan cost, no shuffle."""
+    mapping = fuzzy_field_map(list(expected), df.columns, cutoff=threshold)
+    out = df
+    for exp, actual in mapping.items():
+        if actual and actual != exp:
+            out = out.withColumnRenamed(actual, exp)
+    if not preserve_unmatched:
+        keep = set(expected)
+        out = out.select(*[c for c in out.columns if c in keep])
+    return out
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 string -> unsigned-int-as-long
+    (GeolocationProcessor.java ipAsIntFromString)."""
+    p = F.split(col, r"\.")
+    return (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+
+
+def geolocation_lookup(
+    df: DataFrame,
+    ranges: DataFrame,
+    field_configs: Sequence[tuple[str, str, str]],
+    lo_column: str = "range_lo",
+    hi_column: str = "range_hi",
+    missing_action: str = "REPLACE_WITH_NULLS",
+) -> tuple[DataFrame, DataFrame | None]:
+    """Geolocation processor over a range-dim extract (geolocation/
+    GeolocationProcessor.java: IP -> CIDR-range -> geo attributes; the
+    mmdb file becomes a (range_lo, range_hi, attr...) table — ranges must
+    be disjoint, as CIDR blocks are).
+
+    ``field_configs``: [(input_field, output_field, attr_column)] — the
+    reference's GeolocationFieldConfig (inputFieldName, outputFieldName,
+    targetType). STRING input fields are parsed as dotted-quad IPv4
+    (:func:`ip_to_long`); numeric ones probe as-is. Configs sharing an
+    input field probe the broadcast dim ONCE.
+
+    ``missing_action`` — GeolocationMissingAddressAction: REPLACE_WITH_NULLS
+    / IGNORE leave the outputs null (left join); TO_ERROR returns the
+    unmatched rows on the second frame (the stage error lane)."""
+    by_input: dict[str, list[tuple[str, str]]] = {}
+    for inp, outp, attr in field_configs:
+        by_input.setdefault(inp, []).append((outp, attr))
+    out = df.withColumn("__geo_miss", F.lit(False))
+    for i, (inp, outs) in enumerate(by_input.items()):
+        probe = (
+            ip_to_long(F.col(inp))
+            if dict(out.dtypes).get(inp) == "string"
+            else F.col(inp).cast("long")
+        )
+        attrs = sorted({attr for _, attr in outs})
+        lo, hi = f"__geo_lo_{i}", f"__geo_hi_{i}"
+        dim = F.broadcast(
+            ranges.select(
+                F.col(lo_column).alias(lo),
+                F.col(hi_column).alias(hi),
+                *[F.col(a).alias(f"__geo_{i}_{a}") for a in attrs],
+            )
+        )
+        out = out.join(
+            dim, (probe >= F.col(lo)) & (probe <= F.col(hi)), "left"
+        )
+        for outp, attr in outs:
+            out = out.withColumn(outp, F.col(f"__geo_{i}_{attr}"))
+        # fold this probe's miss into the flag BEFORE its range columns
+        # drop out of scope
+        out = out.withColumn(
+            "__geo_miss",
+            F.col("__geo_miss")
+            | (F.col(inp).isNotNull() & F.col(lo).isNull()),
+        ).drop(lo, hi, *[f"__geo_{i}_{a}" for a in attrs])
+    if missing_action.upper() == "TO_ERROR":
+        ok = out.where(~F.col("__geo_miss")).drop("__geo_miss")
+        err = out.where(F.col("__geo_miss")).drop("__geo_miss")
+        return ok, err
+    return out.drop("__geo_miss"), None
+
+
 # ------------------------------------------------------------ dedup stage
 def record_deduplicator(
     df: DataFrame,

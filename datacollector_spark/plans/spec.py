@@ -279,6 +279,8 @@ _PROCESSORS: dict[str, tuple[Any, list[str]]] = {
     "field_struct_merge": (P.field_struct_merge, ["from_col", "to_col"]),
     "field_flattener": (P.field_flattener, ["column"]),
     "field_flattener_entire": (P.field_flattener_entire, []),
+    "fuzzy_field_rename": (P.fuzzy_field_rename, ["expected"]),
+    "scripting": (P.scripting_processor, ["func"]),
 }
 
 
@@ -360,6 +362,18 @@ class PipelineSpec:
                             f"VALIDATION_0003: {name}: jdbc_lookup needs {key!r}"
                         )
                 producers[st.get("out", st.get("in", "main"))] = name
+            elif typ == "geolocation_lookup":
+                # range-dim probe (geolocation/GeolocationProcessor.java);
+                # TO_ERROR grows an error lane for unmatched addresses
+                for key in ("ranges_path", "field_configs"):
+                    if key not in st:
+                        raise ValidationError(
+                            f"VALIDATION_0003: {name}: geolocation_lookup "
+                            f"needs {key!r}"
+                        )
+                producers[st.get("out", st.get("in", "main"))] = name
+                if (st.get("missing_action") or "").upper() == "TO_ERROR":
+                    producers[st.get("error_lane", f"{name}#errors")] = name
             elif typ == "http_client":
                 if "resource_url" not in st or "into" not in st:
                     raise ValidationError(
@@ -571,6 +585,21 @@ class PipelineSpec:
                         multiple=st.get("multiple", "FIRST_ONLY"),
                     ),
                 )
+            elif typ == "geolocation_lookup":
+                ranges = spark.read.parquet(st["ranges_path"])
+                ok, err = P.geolocation_lookup(
+                    lanes[st["in"]],
+                    ranges,
+                    [tuple(c) for c in st["field_configs"]],
+                    lo_column=st.get("lo_column", "range_lo"),
+                    hi_column=st.get("hi_column", "range_hi"),
+                    missing_action=st.get(
+                        "missing_action", "REPLACE_WITH_NULLS"
+                    ),
+                )
+                _place(st.get("out", st["in"]), ok)
+                if err is not None:
+                    _place(st.get("error_lane", f"{st['name']}#errors"), err)
             elif typ == "http_client":
                 from datacollector_spark.functions.el import el_dir_template
 
@@ -1684,6 +1713,180 @@ class PipelineSpec:
                         "init_params": ov.get("init_params"),
                     }
                 )
+            elif "FuzzyFieldDProcessor" in klass:
+                # fuzzy/FuzzyFieldDProcessor.java — the supported shape is
+                # the in-place single-candidate mode; allCandidates=true
+                # emits per-candidate {score, header, value} maps (a
+                # record-introspection shape with no columnar meaning).
+                # rootFieldPaths scopes matching "up to 1 level deep" — the
+                # flat frame IS that level, so every column is a candidate.
+                if conf.get("allCandidates"):
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: allCandidates=true emits "
+                        "per-candidate score maps — port with "
+                        "allCandidates=false (in-place rename)"
+                    )
+                if conf.get("inPlace") is False:
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: inPlace=false keeps "
+                        "candidate metadata — port with inPlace=true"
+                    )
+                stages.append(
+                    {
+                        "name": name,
+                        "type": "fuzzy_field_rename",
+                        "in": ins[0],
+                        "out": outs[0],
+                        "expected": [
+                            path_to_column(f)
+                            for f in conf.get("outputFieldNames") or []
+                        ],
+                        "threshold": float(conf.get("matchThreshold", 60))
+                        / 100.0,
+                        "preserve_unmatched": bool(
+                            conf.get("preserveUnmatchedFields", True)
+                        ),
+                    }
+                )
+            elif "GeolocationDProcessor" in klass:
+                # geolocation/GeolocationDProcessor.java — dbConfigs name
+                # GeoIP2 .mmdb binaries (vendor artifact, jar-side reader);
+                # the columnar port probes a (range_lo, range_hi, attr...)
+                # extract of the same database, broadcast like any dim
+                ov = stage_overrides.get(name) or {}
+                if "ranges_path" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0009: {name}: the GeoIP2 database "
+                        f"({conf.get('dbConfigs')!r}) is a binary maxmind "
+                        "artifact — supply a (range_lo, range_hi, attr...) "
+                        "parquet extract via stage_overrides="
+                        f"{{{name!r}: {{'ranges_path': ...}}}}"
+                    )
+                # GeolocationFieldConfig {inputFieldName, outputFieldName,
+                # targetType: GeolocationField} — the attr column carries
+                # the enum's lowercase name (COUNTRY_NAME -> country_name)
+                field_cfgs = [
+                    [
+                        path_to_column(c["inputFieldName"]),
+                        path_to_column(c["outputFieldName"]),
+                        (c.get("targetType") or "").lower(),
+                    ]
+                    for c in conf.get("fieldTypeConverterConfigs", [])
+                ]
+                missing = (
+                    conf.get("missingAddressAction") or "REPLACE_WITH_NULLS"
+                ).upper()
+                stage = {
+                    "name": name,
+                    "type": "geolocation_lookup",
+                    "in": ins[0],
+                    "out": outs[0],
+                    "ranges_path": ov["ranges_path"],
+                    "field_configs": field_cfgs,
+                    "missing_action": missing,
+                    "lo_column": ov.get("lo_column", "range_lo"),
+                    "hi_column": ov.get("hi_column", "range_hi"),
+                }
+                if missing == "TO_ERROR":
+                    stage["error_lane"] = f"{name}#errors"
+                stages.append(stage)
+            elif (
+                "JavaScriptDProcessor" in klass
+                or "JythonDProcessor" in klass
+                or "GroovyDProcessor" in klass
+            ):
+                # scripting processors: the exported 'script' config is
+                # JS/Jython/Groovy source with the records binding — no
+                # engine for it here, and a faithful per-record interpreter
+                # would be the slow path anyway. The port contract mirrors
+                # the Spark-evaluator doctrine: the user supplies the
+                # vectorized pandas equivalent (runs via mapInPandas,
+                # Arrow-batched — commonlib AbstractScriptingProcessor's
+                # batch mode without the per-record loop).
+                ov = stage_overrides.get(name) or {}
+                if not callable(ov.get("func")):
+                    raise ValidationError(
+                        f"VALIDATION_0009: {name}: the {klass.split('_')[-1]} "
+                        "'script' source cannot execute here — supply the "
+                        "vectorized pandas equivalent via stage_overrides="
+                        f"{{{name!r}: {{'func': fn, 'schema': ...}}}}"
+                    )
+                stage = {
+                    "name": name,
+                    "type": "scripting",
+                    "in": ins[0],
+                    "out": outs[0],
+                    "func": ov["func"],
+                }
+                if ov.get("schema") is not None:
+                    stage["schema"] = ov["schema"]
+                stages.append(stage)
+            elif "XMLFlatteningDProcessor" in klass:
+                # xmlflattener/XMLFlatteningDProcessor.java — parse the XML
+                # text in fromField and flatten the element tree into
+                # record fields named root<fieldDelimiter>child... Spark
+                # parses with a declared schema (the reference infers per
+                # record), and the flattened prefix is the document's root
+                # element — both supplied via stage_overrides. Attributes
+                # appear iff the override schema declares them
+                # (ignoreAttributes is schema-driven here); name
+                # collisions resolve by select order (newFieldOverwrites).
+                ov = stage_overrides.get(name) or {}
+                if "schema" not in ov or "root" not in ov:
+                    raise ValidationError(
+                        f"VALIDATION_0009: {name}: the XML flattener needs "
+                        "a declared parse schema and the root element name "
+                        f"— pass stage_overrides={{{name!r}: {{'schema': "
+                        "..., 'root': 'elem'}}}}"
+                    )
+                if conf.get("recordDelimiter"):
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: recordDelimiter (one "
+                        "record per repeated child element) is not ported "
+                        "directly — port as an XML parser stage + List "
+                        "Pivot over the repeated array field"
+                    )
+                if (conf.get("outputField") or "").strip("/"):
+                    raise ValidationError(
+                        f"VALIDATION_0003: {name}: only record-root output "
+                        "(empty outputField) is ported"
+                    )
+                root = ov["root"]
+                keep_orig = bool(conf.get("keepOriginalFields", True))
+                parsed_lane = f"{name}#parsed"
+                stages.append(
+                    {
+                        "name": f"{name}#parse",
+                        "type": "xml_parser",
+                        "in": ins[0],
+                        "out": parsed_lane,
+                        "column": path_to_column(conf["fromField"]),
+                        "into": root,
+                        "schema": ov["schema"],
+                    }
+                )
+                flat_out = outs[0] if keep_orig else f"{name}#flat"
+                stages.append(
+                    {
+                        "name": name if keep_orig else f"{name}#flatten",
+                        "type": "field_flattener",
+                        "in": parsed_lane,
+                        "out": flat_out,
+                        "column": root,
+                        "separator": conf.get("fieldDelimiter") or ".",
+                        "recursive": True,
+                    }
+                )
+                if not keep_orig:
+                    stages.append(
+                        {
+                            "name": name,
+                            "type": "field_remover",
+                            "in": flat_out,
+                            "out": outs[0],
+                            "columns": [path_to_column(conf["fromField"])],
+                        }
+                    )
             elif "HttpClientDSource" in klass:
                 # HTTP Client origin (HttpClientSourceConfigBean): resourceUrl
                 # with ${startAt}, pagination bean, resultFieldPath. The
