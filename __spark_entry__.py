@@ -2191,6 +2191,21 @@ def q_corpus_stratified_take(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Deterministic contiguous sequence packing (curation.pack_sequences):
+    documents laid out in an md5-hash global order and binned by cumulative
+    token budget — the training-batch construction step. The engine runs a
+    DISTRIBUTED two-level prefix sum (range-bucket windows + a broadcast
+    bucket-prefix join, never a single-partition global window); the oracle
+    is the plain global window, so the gate proves the distributed
+    decomposition exactly equals the sequential definition."""
+    from datacollector_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), token_col="n_chars", budget=10_000
+    ).select("doc_id", "pack_order", "pack_bin", "pack_offset")
+
+
 def q_text_quality(spark, sf_dir):
     from datacollector_spark.operators.text import quality_features
 
@@ -2554,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_stratified_take": q_corpus_stratified_take,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -2929,6 +2945,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE rn <= (CASE source WHEN 'src0' THEN 5
                          WHEN 'src1' THEN 3 ELSE 0 END)
+        """,
+        "corpus_pack_sequences": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+                     AS pack_order,
+                   CAST(off // 10000 AS BIGINT) AS pack_bin,
+                   CAST(off AS BIGINT) AS pack_offset
+            FROM (
+              SELECT doc_id, h,
+                     COALESCE(SUM(n_chars) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS off
+              FROM (SELECT doc_id, n_chars,
+                           {_md5_salt_sql("doc_id", "pack-v1")} AS h
+                    FROM documents))
         """,
         "text_quality": f"""
             WITH feat AS (

@@ -219,6 +219,80 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    salt: str = "pack-v1",
+    range_bits: int = 8,
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: assign documents to
+    fixed-token-budget training bins. Documents are laid out in a
+    deterministic pseudo-random global order (md5-60bit of (id, salt) —
+    rerun- and engine-reproducible, a global shuffle without an RNG), and
+    each doc's bin is ``floor(exclusive_prefix_tokens / budget)`` — docs are
+    never split; a bin overflows by at most one document; docs longer than
+    the budget take a bin (plus spill) on their own. Adds ``pack_order``
+    (position in the global layout), ``pack_bin``, and ``pack_offset``
+    (token offset within the layout).
+
+    Scale shape — a DISTRIBUTED prefix sum, never a global window (a
+    partition-less window moves the whole corpus to one task): the top
+    ``range_bits`` bits of the order hash split the layout into 2^range_bits
+    contiguous range buckets; the in-bucket cumulative sum is a window
+    partitioned by bucket, and each bucket's global prefix is the sum of
+    lower buckets' totals — a 2^range_bits-row aggregate broadcast back.
+    One corpus shuffle (the range-bucket window) + one tiny join."""
+    from datacollector_spark.functions.hashing import md5_long
+
+    h = md5_long(F.col(id_col).cast("string"), salt=salt)
+    rb = F.shiftright(h, 60 - range_bits)
+    keyed = df.withColumn("_h", h).withColumn("_rb", rb)
+    # per-bucket totals -> exclusive global prefix per bucket (tiny frame)
+    totals = (
+        keyed.groupBy("_rb")
+        .agg(
+            F.sum(F.col(token_col).cast("long")).alias("_tok"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+    )
+    wb = (
+        Window.orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        "_rb",
+        F.coalesce(F.sum("_tok").over(wb), F.lit(0)).alias("_tok_prefix"),
+        F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).alias("_cnt_prefix"),
+    )
+    w = Window.partitionBy("_rb").orderBy("_h", F.col(id_col))
+    in_bucket = keyed.withColumn(
+        "_tok_cum",
+        F.coalesce(
+            F.sum(F.col(token_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("_rn", F.row_number().over(w))
+    out = in_bucket.join(F.broadcast(prefixes), "_rb")
+    offset = F.col("_tok_prefix") + F.col("_tok_cum")
+    return (
+        out.withColumn(
+            "pack_order",
+            (F.col("_cnt_prefix") + F.col("_rn") - 1).cast("long"),
+        )
+        .withColumn("pack_offset", offset.cast("long"))
+        # integer DIV, not floor(double/) — exact past 2^53 total tokens
+        .withColumn(
+            "pack_bin",
+            F.expr(f"pack_offset DIV {int(budget)}").cast("long"),
+        )
+        .drop("_h", "_rb", "_tok_cum", "_rn", "_tok_prefix", "_cnt_prefix")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

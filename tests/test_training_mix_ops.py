@@ -163,6 +163,62 @@ def test_curate_corpus_with_decontamination_stage(spark):
     survivors.unpersist()
 
 
+# ----------------------------------------------------------- pack_sequences
+def test_pack_sequences_distributed_equals_global_window(spark):
+    """The two-level distributed prefix sum must reproduce the sequential
+    definition (one global window) exactly, at several bucket widths."""
+    from pyspark.sql import Window
+
+    from datacollector_spark.functions.hashing import md5_long
+    from datacollector_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    h = md5_long(F.col("doc_id").cast("string"), salt="pack-v1")
+    w = Window.orderBy(h, "doc_id")
+    ref = (
+        docs.withColumn(
+            "pack_order", (F.row_number().over(w) - 1).cast("long")
+        )
+        .withColumn(
+            "pack_offset",
+            F.coalesce(
+                F.sum(F.col("n_chars").cast("long")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("pack_bin", F.expr("pack_offset DIV 512").cast("long"))
+        .select("doc_id", "pack_order", "pack_bin", "pack_offset")
+    )
+    for bits in (2, 8):
+        got = pack_sequences(
+            docs, token_col="n_chars", budget=512, range_bits=bits
+        ).select("doc_id", "pack_order", "pack_bin", "pack_offset")
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+
+
+def test_pack_sequences_bin_invariants(spark):
+    """Docs are never split, bins are contiguous in the layout order, and
+    each bin's content (minus its possible overflow doc) fits the budget."""
+    from datacollector_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    budget = 1000
+    got = pack_sequences(docs, token_col="n_chars", budget=budget).orderBy(
+        "pack_order"
+    )
+    rows = got.select("pack_bin", "pack_offset", "n_chars").collect()
+    # offsets strictly increase with order; bins are non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert b["pack_offset"] == a["pack_offset"] + a["n_chars"]
+        assert b["pack_bin"] >= a["pack_bin"]
+    # every doc STARTS inside its bin
+    for r in rows:
+        assert r["pack_offset"] // budget == r["pack_bin"]
+
+
 # -------------------------------------------------------- stratified_sample
 def test_stratified_fractions_growth_stable(spark):
     """Membership is a pure function of (id, salt): adding rows later never

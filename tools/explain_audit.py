@@ -636,6 +636,26 @@ def main() -> None:
         )
     )
 
+    # sequence packing: the corpus-side prefix sum must be the range-bucket
+    # window (hashpartitioning(_rb)), never a single-partition global
+    # window over the corpus; the bucket-prefix table joins back broadcast.
+    # (The SinglePartition exchange that DOES appear feeds the 2^range_bits-
+    # row totals frame — metadata, not corpus.)
+    p = plan_of(qs["corpus_pack_sequences"](spark, sf_dir))
+    checks.append(
+        (
+            "sequence packing (distributed prefix sum)",
+            p,
+            [
+                ("corpus window partitioned by range bucket",
+                 "hashpartitioning(_rb" in p),
+                ("bucket prefixes broadcast back", "BroadcastHashJoin" in p),
+                ("no sort-merge join", "SortMergeJoin" not in p),
+                ("no Python", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     lines = ["# EXPLAIN audit — plan-quality evidence", ""]
     n_fail = 0
     for name, plan, results in checks:
