@@ -117,6 +117,49 @@ def _md5_salt_sql(id_expr: str, salt: str) -> str:
     return md5_long_sql(f"CAST({id_expr} AS VARCHAR)", salt)
 
 
+# IVF ANN relational definition (shared by the inline operator and the
+# persisted-index search — both must match it bit-for-bit): deterministic
+# quantizer (seed centroids = the 8 smallest-id vectors, kmeans_iters=0),
+# assignment/probes by cosine with cos DESC, cid ASC tie-break, nprobe=2.
+_IVF_ORACLE = """
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8)),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT c.vec_id, c.embedding, ct.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]), ct.cv) DESC,
+                 ct.cid) AS rn
+        FROM embeddings c, cent ct)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+        SELECT q.vec_id, q.embedding, ct.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]), ct.cv) DESC,
+                 ct.cid) AS rn
+        FROM embeddings q, cent ct WHERE q.vec_id < 8)
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                    CAST(a.embedding AS DOUBLE[])) AS cos
+      FROM probes p JOIN assigned a
+        ON a.cid = p.cid AND a.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+"""
+
+
 def _minhash_pairs_cte_block(num_hashes=32, bands=8, threshold=0.4) -> str:
     """CTE chain ending in pairs(id_a, id_b, jaccard) — shared by the
     minhash-LSH oracle and the connected-components oracle. Same md5-derived
@@ -2191,6 +2234,28 @@ def q_corpus_stratified_take(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_ann_ivf_index_search(spark, sf_dir):
+    """Persisted-IVF search (similarity.build_ivf_index/ivf_index_search):
+    the inverted lists live as cid-partitioned parquet and the probe set
+    becomes a literal partition filter — un-probed lists are never opened.
+    Same deterministic quantizer as ann_ivf_topk, so the SAME SQL oracle
+    must match bit-for-bit (the on-disk path proven equal to the inline
+    operator AND to the relational definition)."""
+    import tempfile
+
+    from datacollector_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = tempfile.mkdtemp(prefix="dcs_ivf_idx_")
+    build_ivf_index(emb, idx, dim=64, nlist=8)
+    return ivf_index_search(
+        spark, idx, emb.where(F.col("vec_id") < 8), k=5, nprobe=2
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_corpus_pack_sequences(spark, sf_dir):
     """Deterministic contiguous sequence packing (curation.pack_sequences):
     documents laid out in an md5-hash global order and binned by cumulative
@@ -2569,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_stratified_take": q_corpus_stratified_take,
+        "ann_ivf_index_search": q_ann_ivf_index_search,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -2867,43 +2933,11 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)
             WHERE rank <= 5
         """,
-        "ann_ivf_topk": """
-            WITH cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                     CAST(embedding AS DOUBLE[]) AS cv
-              FROM (SELECT vec_id, embedding FROM embeddings
-                    ORDER BY vec_id LIMIT 8)),
-            assigned AS (
-              SELECT vec_id, embedding, cid FROM (
-                SELECT c.vec_id, c.embedding, ct.cid,
-                       row_number() OVER (PARTITION BY c.vec_id
-                         ORDER BY list_cosine_similarity(
-                           CAST(c.embedding AS DOUBLE[]), ct.cv) DESC,
-                         ct.cid) AS rn
-                FROM embeddings c, cent ct)
-              WHERE rn = 1),
-            probes AS (
-              SELECT vec_id AS query_id, embedding AS qv, cid FROM (
-                SELECT q.vec_id, q.embedding, ct.cid,
-                       row_number() OVER (PARTITION BY q.vec_id
-                         ORDER BY list_cosine_similarity(
-                           CAST(q.embedding AS DOUBLE[]), ct.cv) DESC,
-                         ct.cid) AS rn
-                FROM embeddings q, cent ct WHERE q.vec_id < 8)
-              WHERE rn <= 2),
-            scored AS (
-              SELECT p.query_id, a.vec_id AS neighbor_id,
-                     list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
-                                            CAST(a.embedding AS DOUBLE[])) AS cos
-              FROM probes p JOIN assigned a
-                ON a.cid = p.cid AND a.vec_id != p.query_id)
-            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank FROM (
-              SELECT query_id, neighbor_id, cos,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id) AS rank
-              FROM scored)
-            WHERE rank <= 5
-        """,
+        "ann_ivf_topk": _IVF_ORACLE,
+        # the persisted-index path must land on the SAME result as the
+        # inline operator — one oracle proves both equal the relational
+        # definition of the deterministic quantizer
+        "ann_ivf_index_search": _IVF_ORACLE,
         "corpus_decontaminate": f"""
             WITH docs AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w

@@ -315,6 +315,110 @@ def ivf_ann_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    kmeans_iters: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: inverted lists land as parquet
+    PARTITIONED BY the centroid id (``<path>/lists/cid=N/``), the centroid
+    table as JSON metadata. At query time the probe set becomes a literal
+    partition filter, so a search physically reads only nprobe/nlist of
+    the index files — the on-disk analog of the inline operator's
+    candidate pruning, and the shape that matters at 100 TB (an un-probed
+    inverted list is never opened). Returns the centroid table."""
+    import json
+    import os
+
+    cents = train_ivf_centroids(
+        corpus, dim, id_col, vec_col, nlist=nlist, kmeans_iters=kmeans_iters
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        nearest_centroid(F.col(vec_col), cents).alias("cid"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump({"dim": dim, "centroids": cents}, fh)
+    return cents
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`build_ivf_index`). The query
+    set's probed centroid ids are collected driver-side (queries are the
+    small side by construction) into a LITERAL ``cid IN (...)`` filter, so
+    Spark prunes un-probed list partitions at the scan — `.explain` shows
+    the probe set in PartitionFilters. Results are identical to
+    :func:`ivf_ann_topk` over the same corpus and quantizer."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        meta = json.load(fh)
+    cents = [(int(cid), vec) for cid, vec in meta["centroids"]]
+    ordered = F.array_sort(
+        _centroid_scores(F.col(vec_col), cents),
+        lambda x, y: F.when(x["cos"] > y["cos"], F.lit(-1))
+        .when(x["cos"] < y["cos"], F.lit(1))
+        .when(x["cid"] < y["cid"], F.lit(-1))
+        .when(x["cid"] > y["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(F.slice(ordered, 1, nprobe), lambda c: c["cid"])
+        ).alias("_qcid"),
+    )
+    probe_cids = sorted(
+        {r["_qcid"] for r in probes.select("_qcid").distinct().collect()}
+    )
+    lists = spark.read.parquet(os.path.join(path, "lists")).where(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        lists.join(
+            F.broadcast(probes),
+            (F.col("cid") == F.col("_qcid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            cosine(
+                F.col("_qv").cast("array<double>"),
+                F.col("vec").cast("array<double>"),
+            ),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine").cast("double"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -82,6 +82,50 @@ def test_ivf_assignment_deterministic_tiebreak(spark):
     assert [r["cid"] for r in got] == [0, 0]
 
 
+def test_ivf_index_roundtrip_equals_inline(spark, emb, tmp_path):
+    from datacollector_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        ivf_index_search,
+    )
+
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, idx, dim=64, nlist=8)
+    assert len(cents) == 8
+    q = emb.where(F.col("vec_id") < 8)
+    got = ivf_index_search(spark, idx, q, k=5, nprobe=2)
+    inline = ivf_ann_topk(emb, q, dim=64, k=5, nlist=8, nprobe=2)
+    assert got.exceptAll(inline).count() == 0
+    assert inline.exceptAll(got).count() == 0
+
+
+def test_ivf_index_search_prunes_unprobed_partitions(spark, emb, tmp_path):
+    """One query, nprobe=2: the scan's partition filter carries exactly the
+    two probed cids — un-probed inverted lists never open."""
+    import io
+    from contextlib import redirect_stdout
+
+    from datacollector_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, dim=64, nlist=8)
+    one = emb.where(F.col("vec_id") == 0)
+    got = ivf_index_search(spark, idx, one, k=3, nprobe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 2
+    assert got.count() == 3
+
+
 # ------------------------------------------------------------ decontaminate
 def test_decontaminate_planted_overlap(spark):
     from datacollector_spark.operators.curation import decontaminate

@@ -636,6 +636,23 @@ def main() -> None:
         )
     )
 
+    # persisted IVF index: the probe set must reach the list scan as a
+    # PARTITION filter (cid=N directory pruning) — the on-disk analog of
+    # candidate pruning; un-probed inverted lists are never opened
+    p = plan_of(qs["ann_ivf_index_search"](spark, sf_dir))
+    checks.append(
+        (
+            "persisted IVF index search (partition-pruned lists)",
+            p,
+            [
+                ("probe cids are a scan partition filter",
+                 "PartitionFilters: [cid" in p and " IN (" in p),
+                ("probe table broadcast", "BroadcastHashJoin" in p),
+                ("no Python", "BatchEvalPython" not in p),
+            ],
+        )
+    )
+
     # sequence packing: the corpus-side prefix sum must be the range-bucket
     # window (hashpartitioning(_rb)), never a single-partition global
     # window over the corpus; the bucket-prefix table joins back broadcast.
