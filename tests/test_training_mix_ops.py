@@ -185,6 +185,51 @@ def test_decontaminate_shuffle_join_variant_matches(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_training_mix_parity_above_toy_scale(spark):
+    """Correctness evidence ABOVE the 500-doc gate corpus: decontamination,
+    sequence packing, and both IVF paths cross-checked against their DuckDB
+    oracles at sf0.1 (5 000 documents / embeddings, 10x the gate scale)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    got = {
+        (r["doc_id"], r["contaminated"], r["n_matched"])
+        for r in qs["corpus_decontaminate"](spark, sf_dir).collect()
+    }
+    exp = set(map(tuple, con.execute(oracles["corpus_decontaminate"]).fetchall()))
+    assert got == exp
+    assert sum(1 for _, c, _ in got if c) > 20  # real signal at sf0.1
+
+    got = {
+        (r["doc_id"], r["pack_order"], r["pack_bin"], r["pack_offset"])
+        for r in qs["corpus_pack_sequences"](spark, sf_dir).collect()
+    }
+    exp = set(map(tuple, con.execute(oracles["corpus_pack_sequences"]).fetchall()))
+    assert got == exp and len(got) == 5000
+
+    for q in ("ann_ivf_topk", "ann_ivf_index_search"):
+        got = {
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 6), r["rank"])
+            for r in qs[q](spark, sf_dir).collect()
+        }
+        exp = {
+            (a, b, round(c, 6), k)
+            for a, b, c, k in con.execute(oracles[q]).fetchall()
+        }
+        assert got == exp, q
+
+
 def test_curate_corpus_with_decontamination_stage(spark):
     """curate_corpus(benchmark=...) drops survivors sharing any n-gram with
     the eval set and reports the stage count."""
