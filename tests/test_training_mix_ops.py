@@ -342,6 +342,89 @@ def test_stratified_fractions_bounds_and_default(spark):
         )
 
 
+def test_spark_submit_training_mix_job(spark, tmp_path):
+    """Launch contract for the end-to-end training-mix build: package the
+    engine, run jobs/build_training_mix.py through spark-submit --py-files
+    (curate -> decontaminate -> mix -> split -> pack -> partitioned
+    parquet), assert the stage counts, the written layout, and that the
+    packed columns agree with the operators run in-process."""
+    import json as _json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    from tools.package import build
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    import pyspark
+
+    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if not (spark_submit and os.path.exists(spark_submit)) and os.path.exists(cand):
+        spark_submit = cand
+    if not (spark_submit and os.path.exists(spark_submit)):
+        _pytest.skip("spark-submit not found")
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench_path = str(tmp_path / "bench")
+    docs.where(F.col("doc_id") % 37 == 0).write.parquet(bench_path)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = build(str(tmp_path / "dist" / "datacollector_spark.zip"))
+    out_dir = str(tmp_path / "mix")
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]", "--py-files", zip_path,
+            os.path.join(repo, "jobs", "build_training_mix.py"),
+            "--input", f"{SF}/documents.parquet",
+            "--output", out_dir,
+            "--benchmark", bench_path,
+            "--decontaminate-n", "4",
+            "--mix", "lang:en=1.0,lang:de=1.0,lang:fr=0.5",
+            "--mix-default", "0.2",
+            "--splits", "train=0.9,val=0.05,test=0.05",
+            "--budget", "2000",
+            "--min-quality", "0.1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("MIX_RESULT ")]
+    assert line, proc.stdout[-2000:]
+    res = _json.loads(line[0][len("MIX_RESULT "):])
+    st = res["stages"]
+    assert st["input"] == 500
+    assert st["after_decontaminate"] <= st["after_neardup"] <= st["after_exact"]
+    assert res["splits"]["train"]["rows"] > 0
+    assert st["mix_rows"] == sum(s["rows"] for s in res["splits"].values())
+
+    out = spark.read.parquet(out_dir)
+    assert set(out.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+    assert out.count() == st["mix_rows"]
+    # packing inside the job == the operator run in-process on the same split
+    from datacollector_spark.operators.curation import pack_sequences
+
+    train_ids = out.where("split = 'train'").select(
+        "doc_id", "pack_order", "pack_bin", "pack_offset"
+    )
+    redo = pack_sequences(
+        out.where("split = 'train'").select("doc_id", "n_chars"),
+        token_col="n_chars",
+        budget=2000,
+        salt="pack-train",
+    ).select("doc_id", "pack_order", "pack_bin", "pack_offset")
+    assert train_ids.exceptAll(redo).count() == 0
+    assert redo.exceptAll(train_ids).count() == 0
+
+
 def test_stratified_exact_n_quotas(spark):
     from datacollector_spark.operators.curation import stratified_sample
 
