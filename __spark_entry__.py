@@ -2271,6 +2271,17 @@ def q_corpus_pack_sequences(spark, sf_dir):
     ).select("doc_id", "pack_order", "pack_bin", "pack_offset")
 
 
+def q_text_chunk_documents(spark, sf_dir):
+    """Overlapping context-window chunking (text.chunk_documents): chunk i
+    = words [i*stride, i*stride+max_tokens), stride = max_tokens - overlap
+    — one JVM projection + map-side posexplode, zero shuffles."""
+    from datacollector_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=24, overlap=8
+    )
+
+
 def q_text_quality(spark, sf_dir):
     from datacollector_spark.operators.text import quality_features
 
@@ -2640,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_cdc_chunks": q_text_cdc_chunks,
+        "text_chunk_documents": q_text_chunk_documents,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_frame_sampling": q_multimodal_frame_sampling,
     }
@@ -3035,6 +3047,22 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLE_CTE}
             SELECT doc_id, min({_MD5LONG.format(x='s')}) AS fp
             FROM shingles GROUP BY doc_id
+        """,
+        "text_chunk_documents": """
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   array_to_string(w2, ' ') AS chunk_text,
+                   CAST(len(w2) AS INT) AS chunk_tokens
+            FROM (
+              SELECT doc_id, i,
+                     list_slice(w, CAST(i*16+1 AS BIGINT),
+                                CAST(i*16+24 AS BIGINT)) AS w2
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS w
+                    FROM documents),
+                   UNNEST(generate_series(0,
+                     CAST(greatest(ceil((len(w) - 8) / 16.0), 1) AS BIGINT)
+                       - 1)) t(i))
         """,
         "text_cdc_chunks": f"""
             SELECT doc_id,

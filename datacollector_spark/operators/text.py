@@ -108,6 +108,48 @@ def fingerprint(col: Column, shingle_n: int = 3) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token-budget training chunks —
+    the context-window preprocessing step: chunk i covers words
+    [i*stride, i*stride + max_tokens) with stride = max_tokens - overlap,
+    so consecutive chunks share ``overlap`` words and every word lands in
+    at least one chunk. Output: one row per (doc, chunk) with
+    ``chunk_idx``, ``chunk_text``, ``chunk_tokens`` (the last chunk may
+    run short). Empty/short docs yield exactly one chunk.
+
+    Pure JVM expression (split -> sequence -> transform/slice ->
+    posexplode): fuses into the scan, the explode is map-side — zero
+    shuffles, output rows ≈ corpus_tokens/stride."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    k = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.slice(words, i * stride + 1, max_tokens),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_w"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.col("_w")).alias("chunk_text"),
+        F.size("_w").alias("chunk_tokens"),
+    )
+
+
 def content_defined_chunks(col: Column, window: int = 16, mask_bits: int = 6) -> Column:
     """Rolling-hash content-defined chunk boundaries (character shingles):
     positions whose window-hash has ``mask_bits`` low zero bits. Returns

@@ -252,6 +252,64 @@ def test_curate_corpus_with_decontamination_stage(spark):
     survivors.unpersist()
 
 
+# ---------------------------------------------------------- chunk_documents
+def test_chunk_documents_overlap_and_coverage(spark):
+    import pytest as _pytest
+
+    from datacollector_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, "")],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=10, overlap=4).collect()
+    }
+    # doc 1: stride 6, 25 words -> ceil((25-4)/6)=4 chunks
+    assert {i for d, i in rows if d == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)][0].split() == words[0:10]
+    assert rows[(1, 1)][0].split() == words[6:16]
+    # consecutive chunks share exactly `overlap` words
+    assert rows[(1, 0)][0].split()[-4:] == rows[(1, 1)][0].split()[:4]
+    # last chunk runs short but reaches the final word
+    assert rows[(1, 3)][0].split()[-1] == "w24"
+    assert rows[(1, 3)][1] == len(rows[(1, 3)][0].split())
+    # short/empty docs yield exactly one chunk
+    assert rows[(2, 0)] == ("a b", 2)
+    assert (3, 0) in rows and {i for d, i in rows if d == 3} == {0}
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_chunk_documents_every_word_covered(spark):
+    from datacollector_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=24, overlap=8)
+    # total distinct word POSITIONS covered == total words: reconstruct by
+    # comparing per-doc token counts (stride tiling covers [0, n))
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("chunk_tokens").alias("covered"),
+            F.count("*").alias("k"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+            ),
+            "doc_id",
+        )
+    )
+    bad = agg.where(
+        F.col("covered") != F.col("n") + (F.col("k") - 1) * 8
+    ).count()
+    assert bad == 0  # sum of chunk sizes = n + (k-1)*overlap exactly
+
+
 # ----------------------------------------------------------- pack_sequences
 def test_pack_sequences_distributed_equals_global_window(spark):
     """The two-level distributed prefix sum must reproduce the sequential
