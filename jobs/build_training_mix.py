@@ -65,6 +65,15 @@ def main() -> None:
         default="n_chars",
         help="numeric column used as the packing token count",
     )
+    ap.add_argument(
+        "--chunk-max-tokens",
+        type=int,
+        default=0,
+        help="if > 0, split documents into overlapping word-window chunks "
+        "of this size AFTER the split assignment (chunks of one doc never "
+        "straddle splits) and pack the chunks by their real token counts",
+    )
+    ap.add_argument("--chunk-overlap", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -116,14 +125,36 @@ def main() -> None:
     }
     assigned = hash_split(mixed, args.id_col, fractions=splits)
 
+    # optional context-window chunking AFTER the split assignment: every
+    # chunk inherits its document's split, so no document leaks across the
+    # train/eval boundary; packing then uses the chunks' REAL token counts
+    pack_id, token_col = args.id_col, args.token_col
+    if args.chunk_max_tokens > 0:
+        from datacollector_spark.operators.text import chunk_documents
+
+        chunks = chunk_documents(
+            assigned,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            max_tokens=args.chunk_max_tokens,
+            overlap=args.chunk_overlap,
+        )
+        assigned = chunks.join(
+            assigned.select(args.id_col, "split"), args.id_col
+        ).withColumn(
+            "chunk_id",
+            F.concat_ws("#", F.col(args.id_col), F.col("chunk_idx")),
+        )
+        pack_id, token_col = "chunk_id", "chunk_tokens"
+
     # pack each split independently (bins never straddle splits), one
     # deterministic layout per split
     packed = None
     for split_name in splits:
         part = pack_sequences(
             assigned.where(F.col("split") == split_name),
-            id_col=args.id_col,
-            token_col=args.token_col,
+            id_col=pack_id,
+            token_col=token_col,
             budget=args.budget,
             salt=f"pack-{split_name}",
         )

@@ -447,6 +447,8 @@ def test_spark_submit_training_mix_job(spark, tmp_path):
             "--splits", "train=0.9,val=0.05,test=0.05",
             "--budget", "2000",
             "--min-quality", "0.1",
+            "--chunk-max-tokens", "24",
+            "--chunk-overlap", "8",
         ],
         capture_output=True,
         text=True,
@@ -467,18 +469,33 @@ def test_spark_submit_training_mix_job(spark, tmp_path):
         "train", "val", "test"
     }
     assert out.count() == st["mix_rows"]
+    # chunked path: rows are (doc, chunk) windows, every chunk fits the
+    # window, and a document's chunks never straddle splits
+    assert {"chunk_id", "chunk_idx", "chunk_tokens"} <= set(out.columns)
+    assert out.where("chunk_tokens > 24").count() == 0
+    assert out.count() >= st["mix_rows"]
+    leaks = (
+        out.select("doc_id", "split")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert leaks == 0
     # packing inside the job == the operator run in-process on the same split
     from datacollector_spark.operators.curation import pack_sequences
 
     train_ids = out.where("split = 'train'").select(
-        "doc_id", "pack_order", "pack_bin", "pack_offset"
+        "chunk_id", "pack_order", "pack_bin", "pack_offset"
     )
     redo = pack_sequences(
-        out.where("split = 'train'").select("doc_id", "n_chars"),
-        token_col="n_chars",
+        out.where("split = 'train'").select("chunk_id", "chunk_tokens"),
+        id_col="chunk_id",
+        token_col="chunk_tokens",
         budget=2000,
         salt="pack-train",
-    ).select("doc_id", "pack_order", "pack_bin", "pack_offset")
+    ).select("chunk_id", "pack_order", "pack_bin", "pack_offset")
     assert train_ids.exceptAll(redo).count() == 0
     assert redo.exceptAll(train_ids).count() == 0
 

@@ -636,6 +636,22 @@ def main() -> None:
         )
     )
 
+    # context-window chunking: one projection + map-side generate — no
+    # shuffle, no Python, pruned scan
+    p = plan_of(qs["text_chunk_documents"](spark, sf_dir))
+    checks.append(
+        (
+            "context-window chunking (overlapping word windows)",
+            p,
+            [
+                ("no shuffle", len(re.findall(r"\(\d+\) Exchange\b", p)) == 0),
+                ("no Python", "BatchEvalPython" not in p and "MapInPandas" not in p),
+                ("two-column read only",
+                 "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+            ],
+        )
+    )
+
     # persisted IVF index: the probe set must reach the list scan as a
     # PARTITION filter (cid=N directory pruning) — the on-disk analog of
     # candidate pruning; un-probed inverted lists are never opened
