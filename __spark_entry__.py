@@ -2256,6 +2256,26 @@ def q_ann_ivf_index_search(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_emb_truncate_renorm(spark, sf_dir):
+    """Matryoshka truncation (similarity.truncate_embeddings): first-16-dim
+    prefix, L2-renormalized — per-row first/last components and the
+    pre-normalization norm checked against the SQL definition (left-assoc
+    sum of squares both engines)."""
+    from datacollector_spark.operators.similarity import (
+        l2_norm,
+        truncate_embeddings,
+    )
+
+    out = truncate_embeddings(_t(spark, sf_dir, "embeddings"), dim_out=16)
+    pre = l2_norm(F.slice(F.col("embedding").cast("array<double>"), 1, 16))
+    return out.select(
+        "vec_id",
+        F.round(F.col("embedding_trunc")[0], 6).alias("c_first"),
+        F.round(F.col("embedding_trunc")[15], 6).alias("c_last"),
+        F.round(pre, 6).alias("pre_norm"),
+    )
+
+
 def q_corpus_pack_sequences(spark, sf_dir):
     """Deterministic contiguous sequence packing (curation.pack_sequences):
     documents laid out in an md5-hash global order and binned by cumulative
@@ -2646,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_stratified_take": q_corpus_stratified_take,
         "ann_ivf_index_search": q_ann_ivf_index_search,
+        "emb_truncate_renorm": q_emb_truncate_renorm,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -2991,6 +3012,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE rn <= (CASE source WHEN 'src0' THEN 5
                          WHEN 'src1' THEN 3 ELSE 0 END)
+        """,
+        "emb_truncate_renorm": """
+            SELECT vec_id,
+                   ROUND(p[1] / nrm, 6) AS c_first,
+                   ROUND(p[16] / nrm, 6) AS c_last,
+                   ROUND(nrm, 6) AS pre_norm
+            FROM (
+              SELECT vec_id, p,
+                     sqrt(list_reduce(list_transform(p, x -> x*x),
+                                      (a, b) -> a + b)) AS nrm
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:16] AS p
+                    FROM embeddings))
         """,
         "corpus_pack_sequences": f"""
             SELECT doc_id,

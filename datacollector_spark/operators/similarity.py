@@ -149,6 +149,27 @@ def lsh_ann_topk(
     )
 
 
+def truncate_embeddings(
+    df: DataFrame,
+    dim_out: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+    out_col: str = "embedding_trunc",
+) -> DataFrame:
+    """Matryoshka-style dimensionality truncation: keep the first
+    ``dim_out`` components and (optionally) L2-renormalize — the standard
+    cheap-index trick for MRL-trained embeddings (store full vectors,
+    search a prefix). One projection, no shuffle, fuses into the scan; an
+    all-zero prefix renormalizes to NaN (garbage-in contract, as the SQL
+    definition)."""
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim_out)
+    if renormalize:
+        nrm = l2_norm(v)
+        v = F.transform(v, lambda x: x / nrm)
+    return df.withColumn(out_col, v)
+
+
 def _centroid_scores(
     v: Column, cents: list[tuple[int, list[float]]]
 ) -> Column:

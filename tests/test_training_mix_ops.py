@@ -82,6 +82,34 @@ def test_ivf_assignment_deterministic_tiebreak(spark):
     assert [r["cid"] for r in got] == [0, 0]
 
 
+def test_truncate_embeddings_numpy_parity(spark, emb):
+    import numpy as np
+
+    from datacollector_spark.operators.similarity import truncate_embeddings
+
+    rows = (
+        truncate_embeddings(emb, dim_out=16)
+        .where(F.col("vec_id") < 20)
+        .select("vec_id", "embedding", "embedding_trunc")
+        .collect()
+    )
+    assert len(rows) == 20
+    for r in rows:
+        v = np.array(r["embedding"][:16], dtype=np.float64)
+        expect = v / np.linalg.norm(v)
+        got = np.array(r["embedding_trunc"])
+        assert got.shape == (16,)
+        assert np.allclose(got, expect, atol=1e-12)
+        assert abs(np.linalg.norm(got) - 1.0) < 1e-9
+    # renormalize=False keeps raw prefix values
+    raw = (
+        truncate_embeddings(emb, dim_out=8, renormalize=False)
+        .where(F.col("vec_id") == 0)
+        .first()
+    )
+    assert raw["embedding_trunc"] == [float(x) for x in raw["embedding"][:8]]
+
+
 def test_ivf_index_roundtrip_equals_inline(spark, emb, tmp_path):
     from datacollector_spark.operators.similarity import (
         build_ivf_index,
