@@ -9,13 +9,9 @@ pandas/Arrow UDF (Arrow batches, no per-row Python).
 
 from __future__ import annotations
 
-import re
-
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 # role normalization map — Field Value Replacer + Local KV lookup combo
 _ROLE_CANON = {
@@ -25,19 +21,24 @@ _ROLE_CANON = {
     "tool": "tool", "function": "tool", "tool_call": "tool",
 }
 
-_EMAIL = re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+")
-_LONG_NUM = re.compile(r"\b\d{7,}\b")
+_EMAIL = r"[\w.+-]+@[\w-]+\.[\w.-]+"
+_LONG_NUM = r"\b\d{7,}\b"
 
 
-@pandas_udf(T.StringType())
-def mask_pii(text: pd.Series) -> pd.Series:
-    """Vectorized PII mask over the text column: emails and long digit runs
-    are replaced, preserving length class. This is the Field Masker
-    (fieldmask/FieldMaskProcessor.java) REGEX mode as an Arrow-batched
-    pandas UDF — pandas .str ops run over the whole batch."""
-    out = text.str.replace(_EMAIL, "<email>", regex=True)
-    out = out.str.replace(_LONG_NUM, "<num>", regex=True)
-    return out
+def mask_pii(text: Column) -> Column:
+    """PII mask over the text column: emails and long digit runs are
+    replaced, preserving length class. This is the Field Masker
+    (fieldmask/FieldMaskProcessor.java) REGEX mode as pure JVM
+    ``regexp_replace`` — it fuses into the surrounding codegen stage, so the
+    ingest hot path never crosses the JVM<->Python boundary (an earlier
+    revision was an Arrow-batched pandas UDF; the Arrow transpose +
+    serialization of the text column both ways was pure overhead next to
+    two regexes the JVM runs identically — guide-§4 'built-ins first').
+    Java and Python regex agree on these patterns for ASCII text (\\w, \\d,
+    \\b); the corpus/test alphabets are ASCII."""
+    return F.regexp_replace(
+        F.regexp_replace(text, _EMAIL, "<email>"), _LONG_NUM, "<num>"
+    )
 
 
 def normalize_roles(df: DataFrame, column: str = "role") -> DataFrame:
