@@ -34,6 +34,19 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if n in ("", "*") else int(n)
 
+    # Shuffle/spill scratch space. Spark's default local dir (/tmp) sits on
+    # the sandbox's ONE virtual disk — the same disk-bound failure mode the
+    # bench avoids for table/segment data by pointing its WORKDIR at
+    # /dev/shm; shuffle files are the remaining multi-GB-per-batch disk
+    # traffic, and a noisy neighbor on the shared disk stalls fetches even
+    # when CPU is quiet. Parameterised: DCS_SPARK_LOCAL_DIR overrides; on a
+    # real cluster you point this at the node's fast local SSD array (or
+    # leave the platform default) — tmpfs is only the local-mode analog of
+    # 'fast local scratch'. Spark removes its scratch subdirs on session
+    # stop, so tmpfs does not accumulate across runs.
+    local_dir = os.environ.get("DCS_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/dcs-spark-local"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -53,8 +66,60 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("DCS_SESSION_WARMUP", "1") != "0":
+        _warm_session(spark)
     return spark
+
+
+_WARMED: set[str] = set()
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time per-context warmup of the engine's common codepaths.
+
+    A fresh JVM pays first-use costs on its first real query: task-scheduler
+    and shuffle-infra spin-up, whole-stage-codegen compiler + Janino JIT,
+    parquet reader/writer init, the noop/parquet datasource lookups, and
+    broadcast machinery. On a long-running service these constants vanish;
+    on short-lived sessions they land on whichever query runs first and
+    distort its latency. The standard fix (same reason the CDC bench legs
+    run an untimed warmup merge) is to exercise the paths once at session
+    creation. Costs ~2 s once per SparkContext; disable with
+    DCS_SESSION_WARMUP=0."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        df = spark.range(1_000_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").cast("double").alias("v")
+        )
+        # exchange + partial/final hash aggregate + noop sink
+        df.repartition(8, "k").groupBy("k").agg(F.sum("v").alias("s")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        # parquet write/read + broadcast hash join + codegen'd filter
+        d = tempfile.mkdtemp(prefix="dcs-warm-")
+        try:
+            spark.range(10_000).write.mode("overwrite").parquet(d)
+            (
+                spark.read.parquet(d)
+                .join(F.broadcast(spark.range(100)), "id")
+                .where("id % 7 != 0")
+                .count()
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass  # warmup is best-effort; never fail session creation
