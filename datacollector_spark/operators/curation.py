@@ -206,9 +206,16 @@ def stratified_sample(
                 F.col(strata_col) == name, F.lit(float(fractions[name]))
             ).otherwise(rate)
         return df.where(u < rate)
+    # Drop unlisted strata BEFORE the window: they carry quota 0 and would
+    # be discarded after the shuffle anyway — at corpus scale the unlisted
+    # strata are usually most of the data, so filtering first keeps the
+    # row_number exchange proportional to the quota'd strata only. The
+    # filter fuses into the scan (and pushes down to parquet).
+    names = sorted(exact_n)
+    df = df.where(F.col(strata_col).isin(names))
     w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
     quota = F.lit(0)
-    for name in sorted(exact_n):
+    for name in names:
         quota = F.when(
             F.col(strata_col) == name, F.lit(int(exact_n[name]))
         ).otherwise(quota)

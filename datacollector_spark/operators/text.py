@@ -114,6 +114,7 @@ def chunk_documents(
     text_col: str = "text",
     max_tokens: int = 512,
     overlap: int = 64,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into overlapping token-budget training chunks —
     the context-window preprocessing step: chunk i covers words
@@ -125,9 +126,17 @@ def chunk_documents(
 
     Pure JVM expression (split -> sequence -> transform/slice ->
     posexplode): fuses into the scan, the explode is map-side — zero
-    shuffles, output rows ≈ corpus_tokens/stride."""
+    shuffles, output rows ≈ corpus_tokens/stride.
+
+    ``extra_cols`` ride through unchanged on every chunk row (each chunk
+    inherits its parent document's values) — callers that need parent
+    attributes on the chunks (e.g. the training-mix job's ``split``
+    assignment) carry them here instead of re-joining the chunk frame back
+    to the documents, which at corpus scale would shuffle every chunk's
+    full text just to re-attach a small column."""
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
+    extras = [c for c in (extra_cols or []) if c != id_col]
     stride = max_tokens - overlap
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
@@ -141,9 +150,11 @@ def chunk_documents(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extras],
         F.posexplode(chunks).alias("chunk_idx", "_w"),
     ).select(
         id_col,
+        *extras,
         "chunk_idx",
         F.concat_ws(" ", F.col("_w")).alias("chunk_text"),
         F.size("_w").alias("chunk_tokens"),

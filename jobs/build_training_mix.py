@@ -33,8 +33,14 @@ def parse_mix(s: str) -> tuple[str, dict[str, float]]:
     col = None
     fractions: dict[str, float] = {}
     for part in s.split(","):
-        key, frac = part.split("=")
-        c, v = key.split(":")
+        try:
+            key, frac = part.split("=", 1)
+            c, v = key.split(":", 1)
+            float(frac)
+        except ValueError:
+            raise SystemExit(
+                f"--mix: malformed entry {part!r} (expected column:value=fraction)"
+            )
         if col is None:
             col = c
         elif c != col:
@@ -119,10 +125,15 @@ def main() -> None:
             default_fraction=args.mix_default,
         )
 
-    splits = {
-        name: float(frac)
-        for name, frac in (kv.split("=") for kv in args.splits.split(","))
-    }
+    try:
+        splits = {
+            name: float(frac)
+            for name, frac in (kv.split("=", 1) for kv in args.splits.split(","))
+        }
+    except ValueError:
+        raise SystemExit(
+            f"--splits: malformed value {args.splits!r} (expected name=frac,...)"
+        )
     assigned = hash_split(mixed, args.id_col, fractions=splits)
 
     # optional context-window chunking AFTER the split assignment: every
@@ -132,16 +143,19 @@ def main() -> None:
     if args.chunk_max_tokens > 0:
         from datacollector_spark.operators.text import chunk_documents
 
+        # `split` rides through the chunker as a pass-through column — the
+        # old shape re-joined chunks to the documents on id, which shuffled
+        # every chunk's full text across the cluster just to re-attach one
+        # small column the parent row already had
         chunks = chunk_documents(
             assigned,
             id_col=args.id_col,
             text_col=args.text_col,
             max_tokens=args.chunk_max_tokens,
             overlap=args.chunk_overlap,
+            extra_cols=["split"],
         )
-        assigned = chunks.join(
-            assigned.select(args.id_col, "split"), args.id_col
-        ).withColumn(
+        assigned = chunks.withColumn(
             "chunk_id",
             F.concat_ws("#", F.col(args.id_col), F.col("chunk_idx")),
         )
