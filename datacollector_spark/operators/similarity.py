@@ -162,24 +162,57 @@ def truncate_embeddings(
     cheap-index trick for MRL-trained embeddings (store full vectors,
     search a prefix). One projection, no shuffle, fuses into the scan; an
     all-zero prefix renormalizes to NaN (garbage-in contract, as the SQL
-    definition)."""
-    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim_out)
+    definition). A vector SHORTER than ``dim_out`` raises distributively
+    (ADVICE r5: F.slice silently truncates, so a misconfigured dim_out
+    would emit wrong-dimensional renormalized vectors with no error)."""
+    src = F.col(vec_col).cast("array<double>")
+    v = F.when(F.size(src) >= F.lit(dim_out), F.slice(src, 1, dim_out)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"truncate_embeddings: vector shorter than dim_out={dim_out}: "),
+                F.size(src).cast("string"),
+            )
+        ).cast("array<double>")
+    )
     if renormalize:
         nrm = l2_norm(v)
         v = F.transform(v, lambda x: x / nrm)
     return df.withColumn(out_col, v)
 
 
-def _centroid_scores(
-    v: Column, cents: list[tuple[int, list[float]]]
-) -> Column:
-    """array<struct<cid,cos>>: cosine of ``v`` against every centroid.
+# Above this many nlist x dim doubles the centroid table stops riding the
+# plan as literals (plan/codegen size is O(nlist x dim) there — fine for the
+# oracle-checked small quantizers, hundreds of MB of plan at production IVF
+# sizes like nlist 4k-65k x 1k dims) and instead travels as DATA: a one-row
+# broadcast DataFrame carrying the table as an array column, cross-joined in
+# (BroadcastNestedLoopJoin of a single row — no corpus shuffle, plan stays
+# O(1)). Same arithmetic either way; see _with_centroids_col.
+IVF_LITERAL_MAX_ELEMS = 16_384
 
-    The centroid table is inlined as literals (it is driver-side metadata,
-    O(nlist x dim) doubles), so the whole scoring is one JVM projection —
-    computed ONCE per centroid via transform (never inside a fold lambda,
-    where it would re-evaluate per element)."""
-    arr = F.array(
+_CENTS_COL = "_cents"
+
+
+def _cents_literal_ok(
+    cents: list[tuple[int, list[float]]], literal_max_elems: int | None = None
+) -> bool:
+    cap = IVF_LITERAL_MAX_ELEMS if literal_max_elems is None else literal_max_elems
+    return not cents or len(cents) * len(cents[0][1]) <= cap
+
+
+def _with_centroids_col(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Attach the centroid table to every row as ``_cents`` via a one-row
+    broadcast cross join — the large-nlist transport (data, not plan)."""
+    spark = df.sparkSession
+    rows = [([(int(cid), [float(x) for x in vec]) for cid, vec in cents],)]
+    cdf = spark.createDataFrame(
+        rows, f"{_CENTS_COL} array<struct<cid:int,cv:array<double>>>"
+    )
+    return df.crossJoin(F.broadcast(cdf))
+
+
+def _cents_array(cents: list[tuple[int, list[float]]]) -> Column:
+    """The centroid table as a literal array<struct<cid,cv>> expression."""
+    return F.array(
         *[
             F.struct(
                 F.lit(cid).alias("cid"),
@@ -188,27 +221,103 @@ def _centroid_scores(
             for cid, vec in cents
         ]
     )
+
+
+def _centroid_scores_over(v: Column, cents_arr: Column) -> Column:
+    """array<struct<cid,cos>>: cosine of ``v`` against every centroid in
+    ``cents_arr`` (either the literal array or the broadcast column) —
+    computed ONCE per centroid via transform (never inside a fold lambda,
+    where it would re-evaluate per element)."""
     vd = v.cast("array<double>")
     return F.transform(
-        arr,
+        cents_arr,
         lambda c: F.struct(
             c["cid"].alias("cid"), cosine(vd, c["cv"]).alias("cos")
         ),
     )
 
 
-def nearest_centroid(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """argmax-cosine centroid id for ``v`` — strictly-greater fold over the
-    cid-ascending score array, so exact ties deterministically go to the
-    LOWEST cid (the SQL twin orders ``cos DESC, cid ASC``)."""
+def _centroid_scores(
+    v: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<cid,cos>>: cosine of ``v`` against every centroid.
+
+    The centroid table is inlined as literals (driver-side metadata,
+    O(nlist x dim) doubles) — the right transport for small quantizers; the
+    IVF operators switch to the broadcast-column form past
+    IVF_LITERAL_MAX_ELEMS."""
+    return _centroid_scores_over(v, _cents_array(cents))
+
+
+def _nearest_centroid_over(v: Column, cents_arr: Column) -> Column:
     init = F.struct(
         F.lit(-1).alias("cid"), F.lit(-2.0).cast("double").alias("cos")
     )
     return F.aggregate(
-        _centroid_scores(v, cents),
+        _centroid_scores_over(v, cents_arr),
         init,
         lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
     )["cid"]
+
+
+def nearest_centroid(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine centroid id for ``v`` — strictly-greater fold over the
+    cid-ascending score array, so exact ties deterministically go to the
+    LOWEST cid (the SQL twin orders ``cos DESC, cid ASC``)."""
+    return _nearest_centroid_over(v, _cents_array(cents))
+
+
+def _assign_frame(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    keep_cols: list[Column],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """``keep_cols`` + nearest-centroid id per row. Literal quantizer below
+    IVF_LITERAL_MAX_ELEMS (one projection, zero joins — the oracle-checked
+    shape); broadcast-column quantizer above it (one-row BNLJ cross join —
+    plan stays O(1), still zero corpus shuffles). Identical arithmetic and
+    tie-break in both forms."""
+    if _cents_literal_ok(cents):
+        return df.select(
+            *keep_cols, nearest_centroid(F.col(vec_col), cents).alias(out_col)
+        )
+    return _with_centroids_col(df, cents).select(
+        *keep_cols,
+        _nearest_centroid_over(F.col(vec_col), F.col(_CENTS_COL)).alias(out_col),
+    )
+
+
+def _probes_frame(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, _qv, _qcid) with one row per probed centroid — probe order
+    is cos DESC, cid ASC (oracle twin: row_number() OVER (ORDER BY cos DESC,
+    cid)). Same literal/broadcast transport switch as :func:`_assign_frame`."""
+    if _cents_literal_ok(cents):
+        q, cents_arr = queries, _cents_array(cents)
+    else:
+        q, cents_arr = _with_centroids_col(queries, cents), F.col(_CENTS_COL)
+    ordered = F.array_sort(
+        _centroid_scores_over(F.col(vec_col), cents_arr),
+        lambda x, y: F.when(x["cos"] > y["cos"], F.lit(-1))
+        .when(x["cos"] < y["cos"], F.lit(1))
+        .when(x["cid"] < y["cid"], F.lit(-1))
+        .when(x["cid"] > y["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(F.slice(ordered, 1, nprobe), lambda c: c["cid"])
+        ).alias("_qcid"),
+    )
 
 
 def train_ivf_centroids(
@@ -243,9 +352,12 @@ def train_ivf_centroids(
     )
     cents = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
     for _ in range(kmeans_iters):
-        assigned = corpus.select(
-            F.col(vec_col).cast("array<double>").alias("_v"),
-            nearest_centroid(F.col(vec_col), cents).alias("_cid"),
+        assigned = _assign_frame(
+            corpus,
+            cents,
+            [F.col(vec_col).cast("array<double>").alias("_v")],
+            vec_col,
+            "_cid",
         )
         rows = (
             assigned.groupBy("_cid")
@@ -286,28 +398,11 @@ def ivf_ann_topk(
     cents = centroids or train_ivf_centroids(
         corpus, dim, id_col, vec_col, nlist=nlist, kmeans_iters=kmeans_iters
     )
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        nearest_centroid(F.col(vec_col), cents).alias("_ccid"),
+    assigned = _assign_frame(
+        corpus, cents, [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")],
+        vec_col, "_ccid",
     )
-    # cos DESC, cid ASC — the deterministic probe order (oracle twin:
-    # row_number() OVER (ORDER BY cos DESC, cid))
-    ordered = F.array_sort(
-        _centroid_scores(F.col(vec_col), cents),
-        lambda x, y: F.when(x["cos"] > y["cos"], F.lit(-1))
-        .when(x["cos"] < y["cos"], F.lit(1))
-        .when(x["cid"] < y["cid"], F.lit(-1))
-        .when(x["cid"] > y["cid"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(
-            F.transform(F.slice(ordered, 1, nprobe), lambda c: c["cid"])
-        ).alias("_qcid"),
-    )
+    probes = _probes_frame(queries, cents, id_col, vec_col, nprobe)
     # each corpus vector lives in exactly one inverted list and probe cids
     # are distinct per query, so no (query, neighbor) pair repeats — no
     # dropDuplicates pass needed (unlike multi-probe LSH)
@@ -358,10 +453,12 @@ def build_ivf_index(
     cents = train_ivf_centroids(
         corpus, dim, id_col, vec_col, nlist=nlist, kmeans_iters=kmeans_iters
     )
-    assigned = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        nearest_centroid(F.col(vec_col), cents).alias("cid"),
+    assigned = _assign_frame(
+        corpus,
+        cents,
+        [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")],
+        vec_col,
+        "cid",
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, "lists")
@@ -392,21 +489,7 @@ def ivf_index_search(
     with open(os.path.join(path, "centroids.json")) as fh:
         meta = json.load(fh)
     cents = [(int(cid), vec) for cid, vec in meta["centroids"]]
-    ordered = F.array_sort(
-        _centroid_scores(F.col(vec_col), cents),
-        lambda x, y: F.when(x["cos"] > y["cos"], F.lit(-1))
-        .when(x["cos"] < y["cos"], F.lit(1))
-        .when(x["cid"] < y["cid"], F.lit(-1))
-        .when(x["cid"] > y["cid"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(
-            F.transform(F.slice(ordered, 1, nprobe), lambda c: c["cid"])
-        ).alias("_qcid"),
-    )
+    probes = _probes_frame(queries, cents, id_col, vec_col, nprobe)
     probe_cids = sorted(
         {r["_qcid"] for r in probes.select("_qcid").distinct().collect()}
     )
