@@ -42,12 +42,20 @@ def sigv4_headers(
     # that encoded path verbatim (S3 single-encode rule — encoding again
     # would double-escape and break the signature)
     canonical_uri = parts.path or "/"
-    # canonical query: sorted by name, values URI-encoded
-    q = urllib.parse.parse_qsl(parts.query, keep_blank_values=True)
-    canonical_query = "&".join(
-        f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
-        for k, v in sorted(q)
-    )
+    # canonical query: split the RAW query on '&'/'=' (NOT parse_qsl, which
+    # decodes '+' as a space — a literal '+' is legal in S3 keys and must
+    # canonicalize as %2B, not %20), percent-decode each component, re-encode
+    # with the SigV4 unreserved set, and sort by the ENCODED name/value pairs
+    # per the spec (ADVICE r5)
+    def _canon_kv(pair: str) -> tuple[str, str]:
+        k, _, v = pair.partition("=")
+        return (
+            urllib.parse.quote(urllib.parse.unquote(k), safe="-_.~"),
+            urllib.parse.quote(urllib.parse.unquote(v), safe="-_.~"),
+        )
+
+    pairs = [_canon_kv(p) for p in parts.query.split("&") if p]
+    canonical_query = "&".join(f"{k}={v}" for k, v in sorted(pairs))
     now = amz_date or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
     datestamp = now[:8]
     payload_hash = _sha256_hex(payload)
