@@ -7,15 +7,32 @@ The distributed generalization of two reference behaviors:
     (mysql-binlog-lib/.../BinaryLogConsumer.java:148-155) — at-least-once
     delivery collapsed to effectively-once per key.
 
-Two physical strategies, same semantics (winner = max (lsn, seq_in_tx) per
+Three physical strategies, same semantics (winner = max (lsn, seq_in_tx) per
 key; exact duplicates collapse to one row):
 
-* ``joinback`` (default): a fixed-width HashAggregate computes the winning
-  packed order per key (map-side combined, whole-stage codegen — measured
-  ~2.5x faster than the sort-based plan at 4M x 512B rows), then a join
-  filters the batch to winner rows. Catalyst broadcasts the winners side
-  when it is small (the common micro-batch case: shuffle volume = winners
-  only) and degrades to a shuffled join for huge batches.
+* ``window`` (default, round 6): ONE pass — row_number() over
+  (partition keys, order packed DESC), keep rank 1. Spark 3.5+/4.x plans
+  the ``_rn = 1`` filter as a map-side WindowGroupLimit BEFORE the
+  exchange (verified in plans/r06/), so each map partition forwards at
+  most one row per key: the shuffle carries ~winners, exactly like the
+  joinback's partial aggregation, but with a single scan of the batch, no
+  broadcast build, and no second full-width aggregate for duplicate
+  removal. The output exchange is hash(keys), which the downstream lake
+  MERGE join reuses (guide §2.4: two operations keyed the same way share
+  one exchange). Measured on the bench micro-batch shape (2M x 512B rows,
+  ~7 rows/key, local[32]): 2.90 s vs 3.60 s for joinback (min-of-3,
+  noop sink). Null keys group together (matching SQL PARTITION BY
+  semantics; the join form silently dropped them) — key columns are
+  non-null by pipeline contract either way.
+
+* ``joinback``: a fixed-width HashAggregate computes the winning
+  packed order per key (map-side combined, whole-stage codegen), then a
+  join filters the batch to winner rows and a dropDuplicates collapses
+  exact-duplicate deliveries. Catalyst broadcasts the winners side when it
+  is small and degrades to a shuffled join for huge batches. Kept for
+  shapes where the batch is read from a source whose scan is cheaper than
+  a full-width exchange AND the duplicate-removal aggregate is small
+  (very high update-per-key ratios).
 
 * ``max_by``: single-pass groupBy(keys).agg(max_by(payload, order)).
   Spark executes non-fixed-width aggregation buffers as SortAggregate
@@ -70,7 +87,7 @@ def lww_collapse(
     order_columns: tuple[str, str] = ("lsn", "seq_in_tx"),
     carry_columns: list[str] | None = None,
     salt_buckets: int | None = None,
-    strategy: str = "joinback",
+    strategy: str = "window",
 ) -> DataFrame:
     """Collapse to one row per key: the row with the max (lsn, seq_in_tx).
 
@@ -86,6 +103,17 @@ def lww_collapse(
 
     if salt_buckets and salt_buckets > 1:
         strategy = "max_by"
+
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col("_pk").desc())
+        return (
+            df.withColumn("_pk", _packed_order(lsn_col, seq_col))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*keys, *carries)
+        )
 
     if strategy == "joinback":
         packed = _packed_order(lsn_col, seq_col)

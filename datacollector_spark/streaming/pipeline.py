@@ -240,14 +240,57 @@ class CdcIngestPipeline:
             return
         if not self._lineage_buffer:
             return
-        df = self.spark.createDataFrame(
+        # Driver-direct parquet append (pyarrow), not a Spark job: lineage is
+        # a few hundred metadata rows per flush, but createDataFrame + a
+        # 1-task write job costs seconds of job-scheduling/committer overhead
+        # per flush (measured 5.9 s at the end of a 28 s ingest run — guide
+        # §5: the driver should do almost no data work, and conversely tiny
+        # metadata should not be pushed through the cluster machinery).
+        # Schema (incl. the map<string,double> phase timings) matches
+        # LINEAGE_SCHEMA bit-for-bit, so Spark reads the directory unchanged.
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        buf = self._lineage_buffer
+        arrow_schema = _pa.schema(
             [
-                tuple(r.get(f.name) for f in LINEAGE_SCHEMA.fields)
-                for r in self._lineage_buffer
-            ],
-            LINEAGE_SCHEMA,
+                _pa.field("batch_id", _pa.int64()),
+                _pa.field("commit_key", _pa.string()),
+                _pa.field("table_version", _pa.int64()),
+                _pa.field("bucket", _pa.int32()),
+                _pa.field("rows_source", _pa.int64()),
+                _pa.field("min_lsn", _pa.int64()),
+                _pa.field("max_lsn", _pa.int64()),
+                _pa.field("rows_inserted", _pa.int64()),
+                _pa.field("rows_updated", _pa.int64()),
+                _pa.field("rows_deleted", _pa.int64()),
+                _pa.field("rows_lww_skipped", _pa.int64()),
+                _pa.field("noop", _pa.bool_()),
+                _pa.field("evolved_columns", _pa.list_(_pa.string())),
+                _pa.field("wall_s", _pa.float64()),
+                _pa.field(
+                    "phase_timings", _pa.map_(_pa.string(), _pa.float64())
+                ),
+            ]
         )
-        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        cols = []
+        for f in arrow_schema:
+            vals = [r.get(f.name) for r in buf]
+            if f.name == "phase_timings":
+                vals = [
+                    sorted(v.items()) if isinstance(v, dict) else v for v in vals
+                ]
+            cols.append(_pa.array(vals, type=f.type))
+        table = _pa.Table.from_arrays(cols, schema=arrow_schema)
+        import os
+
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+        tmp = os.path.join(self.lineage_dir, "." + name + ".tmp")
+        _pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, os.path.join(self.lineage_dir, name))
         self._lineage_buffer = []
 
     # ----------------------------------------------------------- the batch

@@ -73,7 +73,10 @@ def main() -> None:
         )
     )
 
-    # 3) collapse: partial aggregation before the shuffle (map-side combine)
+    # 3) collapse: map-side winner pre-filter before the single shuffle
+    # (round 6: the default strategy is the window form — WindowGroupLimit
+    # forwards at most one row per key per map partition, so the exchange
+    # carries ~winners, and the batch is scanned once)
     from datacollector_spark.operators.collapse import lww_collapse
     from datacollector_spark.sources.generator import ChangelogSpec, generate_changelog
 
@@ -84,10 +87,9 @@ def main() -> None:
             "LWW collapse aggregation",
             p,
             [
-                ("fixed-width hash aggregate for winners", "HashAggregate" in p),
-                ("winners side broadcast", "BroadcastHashJoin" in p),
-                # the only sort-based agg left is dropDuplicates over the
-                # collapsed winners (~duplicate-rate sized), never the batch
+                ("map-side winner pre-filter", "WindowGroupLimit" in p),
+                ("single exchange on the keys", p.count("+- Exchange") == 1),
+                ("no broadcast build", "BroadcastHashJoin" not in p),
                 ("codegen spans present", "codegen id" in p),
             ],
         )
