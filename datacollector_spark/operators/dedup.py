@@ -139,11 +139,17 @@ def minhash_lsh_pairs(
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     if spread:
         src = src.repartition(df.sparkSession.sparkContext.defaultParallelism, "_id")
-    # materialize shingles ONCE (reused by the verify joinback)
+    # materialize shingles ONCE (reused by the verify joinback): the
+    # fingerprint pass is persisted (memory, spilling to disk) because three
+    # consumers read it — the signature fold and both sides of the verify
+    # joinback (guide §5: cache exactly when reused and recompute is
+    # expensive; guide §8: materialize the fingerprint pass). Without this
+    # the two joinback branches recompute the scan+shingling per side or,
+    # worse, re-shuffle the full shingle arrays.
     shingled = src.select(
         "_id",
         word_shingles(F.col("_t"), shingle_n).alias("_sh"),
-    )
+    ).persist()
     sig = shingled.select("_id", _minhash_fold(F.col("_sh"), num_hashes).alias("_sig"))
     # id-only band rows: band hash = md5_long of the comma-joined band slice
     banded = sig.select(
