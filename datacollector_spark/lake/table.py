@@ -436,15 +436,19 @@ class LakeTable:
         non_key_cols = [c for c in data_cols if c not in keys]
 
         # normalize source: every table column present (nulls for columns the
-        # batch doesn't carry), correct types
-        s = source
-        for f_ in schema.fields:
-            if f_.name in meta:
-                continue
-            if f_.name in s.columns:
-                s = s.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
-            else:
-                s = s.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        # batch doesn't carry), correct types. One select, not a withColumn
+        # per field: each withColumn eagerly re-analyzes the whole (deep)
+        # batch plan through py4j, which costs driver latency once per
+        # micro-batch for zero plan difference.
+        norm_cols = [
+            (
+                F.col(f_.name).cast(f_.dataType).alias(f_.name)
+                if f_.name in source.columns
+                else F.lit(None).cast(f_.dataType).alias(f_.name)
+            )
+            for f_ in schema.fields
+            if f_.name not in meta
+        ]
         # The stored per-key order (_lsn) is the SAME total order the
         # in-batch collapse uses: lsn<<16 | seq_in_tx when the batch carries
         # seq_in_tx, bare lsn otherwise. Storing the packed order keeps the
@@ -463,9 +467,20 @@ class LakeTable:
             )
         else:
             order_expr = F.col("lsn").cast("long")
+        # Bucket-partition the collapsed batch ONCE, before it is persisted:
+        # every downstream consumer is keyed by the bucket — the stats job
+        # groups by it, the COW join is co-partitioned on it (see below), and
+        # the writer lays files out by it — so the single narrow exchange of
+        # collapsed rows here replaces the full-width exchange of the whole
+        # merged result that used to sit in front of the write (guide §2.4:
+        # operations keyed the same way share one exchange; §3.3: key the
+        # join so its output partitioning is the one the writer needs).
         s = (
-            s.select("op", "lsn", order_expr.alias("_ord"), *data_cols)
+            source.select(
+                F.col("op"), F.col("lsn"), order_expr.alias("_ord"), *norm_cols
+            )
             .withColumn(_BUCKET_COL, self.bucket_expr(*keys))
+            .repartition(self.num_buckets, F.col(_BUCKET_COL))
             .persist()
         )
 
@@ -515,9 +530,9 @@ class LakeTable:
             new_version = self.version + 1
             out_dir_rel = os.path.join("data", f"v{new_version}")
             out_dir = os.path.join(self.path, out_dir_rel)
+            # s is bucket-partitioned in the cache; append deltas directly
             (
-                result.repartition(max(len(touched), 1), F.col(_BUCKET_COL))
-                .write.partitionBy(_BUCKET_COL)
+                result.write.partitionBy(_BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
             )
@@ -591,8 +606,17 @@ class LakeTable:
                 *[F.col(c).alias(f"s_{c}") for c in non_key_cols],
             )
             # plain equality: key columns are non-null by contract (primary
-            # key); eqNullSafe costs ~30% extra join time for nothing here
-            cond = [F.col(f"s_{k}") == F.col(k) for k in keys]
+            # key); eqNullSafe costs ~30% extra join time for nothing here.
+            # The bucket equality leads the condition: bucket = f(keys) on
+            # both sides, so it never changes the match set, but it lets the
+            # join co-partition on the bucket alone (the source side is
+            # already bucket-partitioned in the cache;
+            # requireAllClusterKeysForCoPartition=false in session.py) —
+            # the join output then lands partitioned exactly as the writer
+            # needs it and the old full-width result repartition is gone.
+            cond = [F.col("s__bucket") == F.col(_BUCKET_COL)] + [
+                F.col(f"s_{k}") == F.col(k) for k in keys
+            ]
             joined = target.join(s_pref, on=cond, how="full_outer")
 
             src_matched = F.col("_ord").isNotNull()
@@ -656,9 +680,11 @@ class LakeTable:
         new_version = self.version + 1
         out_dir_rel = os.path.join("data", f"v{new_version}")
         out_dir = os.path.join(self.path, out_dir_rel)
+        # no repartition: the join output (and the fast path's projection of
+        # s) is already hash-partitioned by the bucket, so each task holds
+        # whole buckets and partitionBy still writes one file per bucket
         (
             result.drop("_action")
-            .repartition(max(len(touched), 1), F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)

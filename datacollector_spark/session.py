@@ -65,6 +65,14 @@ def get_spark(
         # sort-merge for it (no sort of the rewritten buckets)
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Allow a join child whose existing hash partitioning covers a
+        # SUBSET of the join keys to be used as-is (the other side shuffles
+        # to match) instead of re-shuffling both sides by all keys. The lake
+        # MERGE relies on this: the collapsed batch is bucket-partitioned
+        # once, the bucket leads the join condition, and the join output
+        # lands partitioned exactly as the bucketed writer needs — deleting
+        # a full-width exchange of the merged result per micro-batch.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
