@@ -74,11 +74,18 @@ def coerce_types(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 def transcript_transforms(df: DataFrame, mask_text: bool = True) -> DataFrame:
     """The standard per-batch transform chain for the transcripts pipeline:
-    role/tool normalization (JVM expressions) + optional PII masking
-    (pandas UDF). One projection; Catalyst fuses the JVM parts around the
-    single Arrow exchange."""
-    out = normalize_roles(df)
-    out = normalize_tools(out)
+    role/tool normalization + PII masking, all JVM expressions in ONE
+    withColumns projection (a withColumn per stage re-analyzes the whole
+    batch plan eagerly on every micro-batch for the same physical plan)."""
+    pairs = []
+    for k, v in _ROLE_CANON.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    role_clean = F.lower(F.trim(F.col("role")))
+    tool_clean = F.lower(F.trim(F.col("tool")))
+    cols = {
+        "role": F.coalesce(F.create_map(*pairs)[role_clean], role_clean),
+        "tool": F.when(tool_clean == "", F.lit(None)).otherwise(tool_clean),
+    }
     if mask_text:
-        out = out.withColumn("text", mask_pii(F.col("text")))
-    return out
+        cols["text"] = mask_pii(F.col("text"))
+    return df.withColumns(cols)
