@@ -37,10 +37,16 @@ HEADLINE = [
 def _session():
     from datacollector_spark.session import get_spark
 
+    extra = {}
+    for kv in os.environ.get("DCS_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k] = v
     return get_spark(
         app_name="dcs-bench-extra",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        extra_conf=extra or None,
     )
 
 
@@ -97,6 +103,10 @@ def cmd_cdc(argv: list[str]) -> None:
     import shutil
     import tempfile
 
+    seg_existing = None
+    if argv and not argv[0].isdigit():
+        seg_existing = argv[0]
+        argv = argv[1:]
     events = int(argv[0]) if argv else 8_000_000
     reps = int(argv[1]) if len(argv) > 1 else 2
     from datacollector_spark.lake import LakeTable
@@ -112,12 +122,15 @@ def cmd_cdc(argv: list[str]) -> None:
     spark = _session()
     workdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="dcs-extra-cdc-", dir=workdir)
-    seg = os.path.join(work, "seg")
-    spec = ChangelogSpec(
-        n_events=events, n_conversations=max(events // 200, 100), seed=42,
-        min_text_chars=512,
-    )
-    write_segments(generate_changelog(spark, spec), seg, n_segments=16)
+    if seg_existing:
+        seg = seg_existing
+    else:
+        seg = os.path.join(work, "seg")
+        spec = ChangelogSpec(
+            n_events=events, n_conversations=max(events // 200, 100), seed=42,
+            min_text_chars=512,
+        )
+        write_segments(generate_changelog(spark, spec), seg, n_segments=16)
     raw = spark.read.parquet(seg)
     table = LakeTable.create(
         spark, os.path.join(work, "table"), transcripts_schema(), KEY_COLUMNS,

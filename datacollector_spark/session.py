@@ -117,6 +117,20 @@ def _warm_session(spark: SparkSession) -> None:
         df.repartition(8, "k").groupBy("k").agg(F.sum("v").alias("s")).write.format(
             "noop"
         ).mode("overwrite").save()
+        # window + sort + WindowGroupLimit (the LWW-collapse shape) — first
+        # use otherwise pays its codegen inside whichever query runs first
+        from pyspark.sql import Window as _W
+
+        (
+            df.withColumn(
+                "_rn",
+                F.row_number().over(_W.partitionBy("k").orderBy(F.col("v").desc())),
+            )
+            .where("_rn = 1")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         # parquet write/read + broadcast hash join + codegen'd filter
         d = tempfile.mkdtemp(prefix="dcs-warm-")
         try:
