@@ -324,14 +324,19 @@ class LakeTable:
             df = self.spark.read.schema(schema).parquet(*files)
         if deltas:
             keys = manifest["key_columns"]
-            winners = df.groupBy(*keys).agg(F.max(LSN_COLUMN).alias("_w"))
+            # read-side LWW winner as a rank-1 window (round 6): one scan +
+            # one exchange with a map-side WindowGroupLimit pre-filter,
+            # replacing the winners aggregate + join + full-width duplicate
+            # removal (same shape change as operators/collapse.py; replayed
+            # deltas tie the base row at equal _lsn with identical content,
+            # so the arbitrary rank-1 pick among ties is value-identical)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(LSN_COLUMN).desc())
             df = (
-                df.join(winners, on=keys)
-                .where(F.col(LSN_COLUMN) == F.col("_w"))
-                # replayed deltas tie the base row at equal _lsn with
-                # identical content — keep one
-                .dropDuplicates(keys)
-                .drop("_w")
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
             )
         if not include_meta:
             # live rows only: delete tombstones are an implementation detail
