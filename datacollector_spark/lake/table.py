@@ -622,7 +622,15 @@ class LakeTable:
             cond = [F.col("s__bucket") == F.col(_BUCKET_COL)] + [
                 F.col(f"s_{k}") == F.col(k) for k in keys
             ]
-            joined = target.join(s_pref, on=cond, how="full_outer")
+            # SHUFFLE_HASH: build the hash map on the (collapsed, cached)
+            # batch side instead of sort-merging — skips the two full sorts
+            # (guide §3.1; preferSortMergeJoin=false alone does not pick SHJ
+            # for this full-outer shape, and AQE's SMJ->SHJ rewrite is off
+            # by default). The batch side is bounded by micro-batch size, so
+            # the per-partition build map is small by construction.
+            joined = target.join(
+                s_pref.hint("SHUFFLE_HASH"), on=cond, how="full_outer"
+            )
 
             src_matched = F.col("_ord").isNotNull()
             tgt_matched = F.col(LSN_COLUMN).isNotNull()  # live row OR tombstone
