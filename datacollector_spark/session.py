@@ -131,6 +131,16 @@ def _warm_session(spark: SparkSession) -> None:
             .mode("overwrite")
             .save()
         )
+        # generate (explode) + object-hash aggregate (collect_list) — the
+        # bucket-expansion shape every LSH/dedup operator uses
+        (
+            df.select("k", F.explode(F.array(F.col("v"), F.col("v"))).alias("e"))
+            .groupBy("k")
+            .agg(F.collect_list("e").alias("es"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         # parquet write/read + broadcast hash join + codegen'd filter
         d = tempfile.mkdtemp(prefix="dcs-warm-")
         try:
